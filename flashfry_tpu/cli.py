@@ -1,0 +1,167 @@
+"""Command-line interface: index / discover / score / random / extract.
+
+Counterpart of the reference's picocli modules (Main.scala:51-57 and
+modules/*.scala), with identical flag names and defaults.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+
+logger = logging.getLogger("flashfry_tpu")
+
+
+def _add_index(sub):
+    p = sub.add_parser("index", help="Generate a binary representation of the genome that can be used for off-target searches")
+    p.add_argument("--reference", "-reference", required=True)
+    p.add_argument("--database", "-database", required=True)
+    p.add_argument("--tmpLocation", "-tmpLocation", required=False, default=None,
+                   help="unused (kept for CLI parity with the reference)")
+    p.add_argument("--enzyme", "-enzyme", default="spCas9ngg")
+    p.add_argument("--binSize", "-binSize", type=int, default=7)
+    return p
+
+
+def _add_discover(sub):
+    p = sub.add_parser("discover", help="Discover off-targets for the specified sequences within the genome of interest")
+    p.add_argument("--fasta", "-fasta", required=True)
+    p.add_argument("--database", "-database", required=True)
+    p.add_argument("--output", "-output", required=True)
+    p.add_argument("--positionOutput", "-positionOutput", action="store_true")
+    p.add_argument("--forceLinear", "-forceLinear", action="store_true")
+    p.add_argument("--maxMismatch", "-maxMismatch", type=int, default=4)
+    p.add_argument("--flankingSequence", "-flankingSequence", type=int, default=6)
+    p.add_argument("--maximumOffTargets", "-maximumOffTargets", type=int, default=2000)
+    p.add_argument("--minGC", "-minGC", type=float, default=0.0)
+    p.add_argument("--maxGC", "-maxGC", type=float, default=1.0)
+    p.add_argument("--backend", default="auto", choices=["auto", "numpy", "jax"],
+                   help="scan backend (TPU-specific extension)")
+    return p
+
+
+def _add_score(sub):
+    p = sub.add_parser("score", help="Score candidate guides with the specified scoring metrics")
+    p.add_argument("--input", "-input", required=True)
+    p.add_argument("--output", "-output", required=True)
+    p.add_argument("--database", "-database", required=True)
+    p.add_argument("--scoringMetrics", "-scoringMetrics", required=True)
+    p.add_argument("--maxMismatch", "-maxMismatch", type=int, default=4)
+    p.add_argument("--includeOTs", "-includeOTs", action="store_true")
+    p.add_argument("--numericOutput", "-numericOutput", action="store_true")
+    p.add_argument("--inputAnnotationBed", "-inputAnnotationBed", action="append", default=[])
+    p.add_argument("--transformPositions", "-transformPositions", action="append", default=[])
+    p.add_argument("--countOnTargetInScore", "-countOnTargetInScore", action="store_true")
+    p.add_argument("--maxReciprocalMismatch", "-maxReciprocalMismatch", type=int, default=4)
+    p.add_argument("--shortestGuideEnergy", "-shortestGuideEnergy", type=int, default=14)
+    p.add_argument("--filterOutOverflow", "-filterOutOverflow", action="store_true")
+    return p
+
+
+def _add_random(sub):
+    p = sub.add_parser("random", help="Generate a random set of CRISPR targets")
+    p.add_argument("--outputFile", "-outputFile", required=True)
+    p.add_argument("--enzyme", "-enzyme", default="")
+    p.add_argument("--namePrefix", "-namePrefix", default="random")
+    p.add_argument("--onlyUnidirectional", "-onlyUnidirectional", action="store_true")
+    p.add_argument("--randomCount", "-randomCount", type=int, required=True)
+    p.add_argument("--sequenceContextLeft", "-sequenceContextLeft", type=int, default=0)
+    p.add_argument("--sequenceContextRight", "-sequenceContextRight", type=int, default=0)
+    p.add_argument("--patterned", "-patterned", default="")
+    p.add_argument("--duplicatesAllowed", "-duplicatesAllowed", action="store_true")
+    p.add_argument("--maxSuccessiveDesignFailures", "-maxSuccessiveDesignFailures", type=int, default=50)
+    p.add_argument("--seed", type=int, default=None, help="TPU-build extension: deterministic output")
+    return p
+
+
+def _add_extract(sub):
+    p = sub.add_parser("extract", help="Dump targets from the database to a FASTA")
+    p.add_argument("--database", "-database", required=True)
+    p.add_argument("--outputFile", "-outputFile", required=True)
+    p.add_argument("--inGenomeCountMin", "-inGenomeCountMin", type=int, default=0)
+    p.add_argument("--inGenomeCountMax", "-inGenomeCountMax", type=int, default=500)
+    p.add_argument("--subsampleProportion", "-subsampleProportion", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=None)
+    return p
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="flashfry-tpu",
+                                 description="TPU-native CRISPR target characterization")
+    sub = ap.add_subparsers(dest="command", required=True)
+    _add_index(sub)
+    _add_discover(sub)
+    _add_score(sub)
+    _add_random(sub)
+    _add_extract(sub)
+    return ap
+
+
+def cmd_index(args) -> None:
+    from .database import build_database, save_database
+    from .standards import name_to_parameter_pack
+    pack = name_to_parameter_pack(args.enzyme)
+    logger.info("Discovering target sites in the input genome file...")
+    db = build_database(args.reference, pack, bin_width=args.binSize)
+    logger.info("Creating the final database file (%d targets)...", db.num_targets)
+    save_database(db, args.database)
+
+
+def cmd_discover(args) -> None:
+    from .database import load_database
+    from .discovery import find_target_sites
+    from .engine import ScanStats, discover
+    from .targetio import write_output
+    from .utils import iterate_fasta
+
+    assert 0.0 <= args.minGC <= 1.0 and 0.0 <= args.maxGC <= 1.0
+    db = load_database(args.database)
+    logger.info("Reading the input fasta and scanning for candidate guides...")
+    gsites = find_target_sites(iterate_fasta(args.fasta), db.pack,
+                               flanking_sequence=args.flankingSequence,
+                               capture_context=True)
+    logger.info("Scanning %d candidate guides against the genome database...", len(gsites))
+    stats = ScanStats()
+    guides = discover(db, gsites,
+                      max_mismatch=args.maxMismatch,
+                      maximum_off_targets=args.maximumOffTargets,
+                      min_gc=args.minGC, max_gc=args.maxGC,
+                      force_linear=args.forceLinear,
+                      backend=args.backend,
+                      stats=stats)
+    logger.info("Performed a total of %s guide to target comparisons in %.3fs",
+                format(stats.all_comparisons, ","), stats.scan_seconds)
+    write_output(args.output, guides, db.bit_encoding(), db.bit_position(),
+                 models=(), write_ots=True, write_positions=args.positionOutput)
+
+
+def cmd_score(args) -> None:
+    from .scoring import run_score_module
+    run_score_module(args)
+
+
+def cmd_random(args) -> None:
+    from .random_guides import generate_random_fasta
+    generate_random_fasta(args)
+
+
+def cmd_extract(args) -> None:
+    from .extract import dump_database
+    dump_database(args)
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(levelname)s %(name)s - %(message)s")
+    t0 = time.time()
+    args = build_parser().parse_args(argv)
+    {"index": cmd_index, "discover": cmd_discover, "score": cmd_score,
+     "random": cmd_random, "extract": cmd_extract}[args.command](args)
+    logger.info("Total runtime %.2fs", time.time() - t0)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,202 @@
+"""Vectorized CRISPR site discovery over FASTA contigs.
+
+Re-designs the reference's regex scanner (reference:
+src/main/scala/reference/ReferenceEncoder.scala:104-175 `SimpleSiteFinder`)
+as numpy array ops: the lookahead regexes become fixed-offset base tests over
+a code array, which finds the same (overlapping) site set.
+
+Pattern semantics replicated exactly:
+  * every base in the scan window must be one of ACGT (the reference regexes
+    only admit [ACGTacgt]; N-containing windows are dropped);
+  * forward patterns test PAM bases at fixed window offsets
+    (e.g. spcas9ngg fwd = window[21:23] == "GG",
+     StandardScanParameters.scala:148);
+  * reverse-strand sites are reported as the reverse complement of the
+    window, at the window's start coordinate (ReferenceEncoder.scala:145-163);
+  * per contig, all forward sites are emitted (ascending position) and then
+    all reverse sites (ascending position) — ReferenceEncoder.scala:121-164;
+  * context = window +/- flank, captured only when the full width is
+    available (ReferenceEncoder.scala:126-136).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .bitcoding import _BASE_LUT, codes_to_longs, codes_to_strings
+from .positions import BitPosition
+from .standards import ParameterPack
+
+
+def _pam_window_patterns(pack: ParameterPack) -> Tuple[List[str], List[str]]:
+    """Expand a parameter pack into (fwd, rev) full-window patterns over
+    {A,C,G,T,N}, N meaning any of ACGT.
+
+    These reproduce the reference's regexes (StandardScanParameters.scala):
+      spcas9      fwd .{21}[AG]G        rev C[CT].{21}
+      spcas9ngg   fwd .{21}GG           rev CC.{21}
+      spcas9nag   fwd .{21}AG           rev CT.{21}
+      (19bp packs: same with one fewer leading N)
+      cpf1        fwd TTT.{21}          rev .{21}AAA
+    """
+    L = pack.total_scan_length
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A", "N": "N"}
+    fwd, rev = [], []
+    for pam in pack.pam:
+        if pack.five_prime_pam:
+            pat = pam + "N" * (L - len(pam))
+        else:
+            pat = "N" * (L - len(pam)) + pam
+        fwd.append(pat)
+        # reverse pattern: reverse complement of the forward pattern
+        rev.append("".join(comp[c] for c in reversed(pat)))
+    return fwd, rev
+
+
+@dataclass
+class DiscoveredSites:
+    """Columnar site set for one FASTA scan."""
+
+    pack: ParameterPack
+    bit_position: BitPosition
+    contig_ids: np.ndarray      # int32[N], 1-based ids matching bit_position
+    positions: np.ndarray       # int32[N] window start within contig
+    forward: np.ndarray         # bool[N]
+    sequences: np.ndarray       # uint64[N] packed bases (count == 1)
+    contexts: Optional[List[Optional[str]]] = None  # only when flank capture requested
+    bases_list: Optional[List[str]] = None
+
+    def __len__(self) -> int:
+        return int(self.contig_ids.shape[0])
+
+    @property
+    def contig_names(self) -> List[str]:
+        return self.bit_position.contig_names_in_order
+
+    def bases(self) -> List[str]:
+        if self.bases_list is None:
+            from .bitcoding import longs_to_codes
+            codes = longs_to_codes(self.sequences & np.uint64(0xFFFFFFFFFFFF),
+                                   self.pack.total_scan_length)
+            self.bases_list = codes_to_strings(codes)
+        return self.bases_list
+
+    def position_longs(self) -> np.ndarray:
+        """Packed genomic positions for every site (BitPosition layout)."""
+        return BitPosition.encode_batch(
+            self.contig_ids.astype(np.uint64),
+            self.positions.astype(np.uint64),
+            np.full(len(self), self.pack.total_scan_length, dtype=np.uint64),
+            self.forward,
+        )
+
+
+def _scan_codes(codes: np.ndarray, patterns: Sequence[str], L: int) -> np.ndarray:
+    """Return sorted start indices where any pattern matches and the whole
+    window is ACGT-only."""
+    n = codes.shape[0]
+    if n < L:
+        return np.zeros(0, dtype=np.int64)
+    invalid = (codes == 255).astype(np.int32)
+    cum = np.concatenate([[0], np.cumsum(invalid)])
+    window_ok = (cum[L:] - cum[:-L]) == 0  # shape n-L+1
+
+    any_match = np.zeros(n - L + 1, dtype=bool)
+    code_of = {"A": 0, "C": 1, "G": 2, "T": 3}
+    for pat in patterns:
+        m = window_ok.copy()
+        for off, ch in enumerate(pat):
+            if ch == "N":
+                continue
+            m &= codes[off: off + n - L + 1] == code_of[ch]
+        any_match |= m
+    return np.nonzero(any_match)[0]
+
+
+def _extract_windows(codes: np.ndarray, starts: np.ndarray, L: int) -> np.ndarray:
+    if starts.size == 0:
+        return np.zeros((0, L), dtype=np.uint8)
+    return codes[starts[:, None] + np.arange(L)[None, :]]
+
+
+def scan_contig(sequence_codes: np.ndarray, pack: ParameterPack):
+    """Scan one contig's code array; returns (fwd_starts, rev_starts)."""
+    fwd_pats, rev_pats = _pam_window_patterns(pack)
+    L = pack.total_scan_length
+    fwd = _scan_codes(sequence_codes, fwd_pats, L)
+    rev = _scan_codes(sequence_codes, rev_pats, L)
+    return fwd, rev
+
+
+def find_target_sites(fasta_iter, pack: ParameterPack,
+                      flanking_sequence: int = 0,
+                      capture_context: bool = False) -> DiscoveredSites:
+    """Scan contigs for candidate sites.
+
+    fasta_iter yields (contig_name, uppercase sequence string) — use
+    utils.iterate_fasta. Site emission order matches the reference: per
+    contig, forward sites ascending then reverse sites ascending
+    (ReferenceEncoder.scala:121-164).
+    """
+    L = pack.total_scan_length
+    bitpos = BitPosition()
+
+    all_contig_ids: List[np.ndarray] = []
+    all_positions: List[np.ndarray] = []
+    all_forward: List[np.ndarray] = []
+    all_longs: List[np.ndarray] = []
+    contexts: List[Optional[str]] = []
+    bases_accum: List[str] = []
+
+    for name, seq in fasta_iter:
+        bitpos.add_reference(name)
+        cid = bitpos.contig_map[name]
+        raw = np.frombuffer(seq.encode("ascii"), dtype=np.uint8)
+        codes = _BASE_LUT[raw]
+        fwd_starts, rev_starts = scan_contig(codes, pack)
+
+        fwd_windows = _extract_windows(codes, fwd_starts, L)
+        rev_windows = _extract_windows(codes, rev_starts, L)
+        # reverse complement: complement is 3 - code, then reverse base order
+        rev_windows = (3 - rev_windows)[:, ::-1]
+
+        n_f, n_r = fwd_starts.size, rev_starts.size
+        count_one = np.uint64(1) << np.uint64(48)
+        all_longs.append(codes_to_longs(fwd_windows) | count_one)
+        all_longs.append(codes_to_longs(rev_windows) | count_one)
+        all_positions.append(fwd_starts.astype(np.int64))
+        all_positions.append(rev_starts.astype(np.int64))
+        all_forward.append(np.ones(n_f, dtype=bool))
+        all_forward.append(np.zeros(n_r, dtype=bool))
+        all_contig_ids.append(np.full(n_f + n_r, cid, dtype=np.int64))
+
+        if capture_context:
+            bases_accum.extend(codes_to_strings(fwd_windows))
+            bases_accum.extend(codes_to_strings(rev_windows))
+            full = L + 2 * flanking_sequence
+            for start in fwd_starts:
+                lo = max(0, int(start) - flanking_sequence)
+                ctx = seq[lo: int(start) + L + flanking_sequence]
+                contexts.append(ctx if len(ctx) == full else None)
+            from .utils import reverse_comp_string
+            for start in rev_starts:
+                lo = max(0, int(start) - flanking_sequence)
+                ctx = seq[lo: int(start) + L + flanking_sequence]
+                contexts.append(reverse_comp_string(ctx) if len(ctx) == full else None)
+
+    def cat(parts, dtype):
+        return (np.concatenate(parts) if parts else np.zeros(0, dtype=dtype)).astype(dtype)
+
+    return DiscoveredSites(
+        pack=pack,
+        bit_position=bitpos,
+        contig_ids=cat(all_contig_ids, np.int64),
+        positions=cat(all_positions, np.int64),
+        forward=cat(all_forward, bool),
+        sequences=cat(all_longs, np.uint64),
+        contexts=contexts if capture_context else None,
+        bases_list=bases_accum if capture_context else None,
+    )

@@ -1,0 +1,201 @@
+"""Off-target discovery engine.
+
+Re-architecture of the reference's traversal machinery (reference:
+modules/OffTargetDiscovery.scala:79-153, reference/traverser/*,
+reference/binary/blocks/BlockManager.scala:212-254) for TPU execution:
+
+  * the database is a flat HBM-resident array scanned in fixed-size chunks;
+  * the guide×target mismatch count is computed for whole (guide-batch,
+    chunk) tiles at once — on TPU as a one-hot matmul on the MXU
+    (flashfry_tpu.ops.scan), on host as vectorized XOR+popcount numpy;
+  * FlashFry's bin-traversal pruning (OrderedBinTraversalFactory.scala:146-173)
+    becomes a (bins × guides) prefix-mismatch matrix computed in one shot;
+    chunks whose bins prune away for every guide are skipped;
+  * per-guide hit lists are reconstructed in global scan order, which equals
+    FlashFry's traversal order, so OT output ordering and the overflow cap
+    semantics (CRISPRSiteOT.scala:39-46: accept while current < cap, counting
+    genomic positions) match exactly.
+
+The hit SET produced equals brute force: FlashFry's bin pruning is lossless
+(prefix mismatches lower-bound total mismatches), so a dense scan returns the
+same hits.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .bitcoding import BitEncoding, STRING_MASK
+from .database import Database
+from .discovery import DiscoveredSites
+from .positions import BitPosition
+from .targetio import GuideWithOffTargets, OffTargetHit
+from .utils import gc_content
+
+
+@dataclass
+class ScanStats:
+    """Counters mirroring the reference's Traverser counters
+    (reference/traverser/Traverser.scala:66-74)."""
+    all_targets: int = 0
+    all_comparisons: int = 0          # FlashFry-equivalent comparisons (after pruning)
+    dense_comparisons: int = 0        # raw guide x target comparisons performed
+    scan_seconds: float = 0.0
+
+
+def bin_guide_mask(db: Database, guide_longs: np.ndarray, max_mismatch: int) -> np.ndarray:
+    """(num_bins, G) bool — can bin b contain a <=max_mismatch hit for guide g?
+
+    One-shot vectorized version of OrderedBinTraversalFactory's precompute
+    (OrderedBinTraversalFactory.scala:146-173).
+    """
+    enc = db.bit_encoding()
+    w = db.bin_width
+    num_bins = db.num_bins
+    # bin b's sequence as an integer occupies the same bit positions for all
+    # bins: replicate binToLongComparitor vectorized.
+    mask = enc.comp_bitmask_for_bin(w)
+    p = db.pack
+    if p.five_prime_pam:
+        shift = np.uint64(2 * (p.total_scan_length - (w + p.pam_length)))
+    else:
+        shift = np.uint64(2 * (p.total_scan_length - w))
+    bins = (np.arange(num_bins, dtype=np.uint64) << shift) & STRING_MASK
+    g = np.asarray(guide_longs, dtype=np.uint64)
+    mm = enc.mismatches(bins[:, None], (g & mask)[None, :])
+    return mm <= max_mismatch
+
+
+def _scan_numpy(db: Database, guide_longs: np.ndarray, max_mismatch: int,
+                stats: ScanStats, bin_mask: Optional[np.ndarray],
+                chunk: int = 1 << 20):
+    """Host scan: vectorized XOR+popcount over (G, chunk) tiles.
+
+    Yields (target_idx int64[:], guide_idx int64[:], mm int8[:]) per chunk,
+    target-major sorted (global scan order).
+    """
+    enc = db.bit_encoding()
+    g = np.asarray(guide_longs, dtype=np.uint64)
+    n = db.num_targets
+    targets = db.targets
+    tgt_bins = None
+    if bin_mask is not None:
+        # per-target bin index, to mask pruned (guide, target) pairs
+        tgt_bins = np.repeat(np.arange(db.num_bins), db.bin_target_counts())
+    for lo in range(0, n, chunk):
+        hi = min(n, lo + chunk)
+        sub_mask = None
+        if bin_mask is not None:
+            sub_mask = bin_mask[tgt_bins[lo:hi]]  # (T, G)
+            if not sub_mask.any():
+                continue
+        mm = enc.mismatches_cross(targets[lo:hi], g)  # (T, G): targets major
+        stats.dense_comparisons += (hi - lo) * g.shape[0]
+        hits = mm <= max_mismatch
+        if sub_mask is not None:
+            stats.all_comparisons += int(sub_mask.sum())
+            hits &= sub_mask
+        else:
+            stats.all_comparisons += (hi - lo) * g.shape[0]
+        stats.all_targets += hi - lo
+        t_idx, g_idx = np.nonzero(hits)
+        if t_idx.size:
+            yield t_idx + lo, g_idx, mm[t_idx, g_idx].astype(np.int8)
+
+
+def _collect_hits(db: Database, guides: List[GuideWithOffTargets],
+                  hit_iter) -> None:
+    """Apply hits (in global target order) to guides with the reference's
+    overflow-cap rule: accept a hit iff current_total < cap before adding
+    (ResultsAggregator.updateOT -> CRISPRSiteOT.addOT)."""
+    for t_idx, g_idx, _mm in hit_iter:
+        for ti, gi in zip(t_idx.tolist(), g_idx.tolist()):
+            guide = guides[gi]
+            if guide.overflow_cap > 0 and guide.current_total >= guide.overflow_cap:
+                continue
+            p0, p1 = int(db.pos_offsets[ti]), int(db.pos_offsets[ti + 1])
+            guide.add_ot(OffTargetHit(int(db.targets[ti]), db.positions[p0:p1]))
+
+
+def discover(db: Database, guide_sites: DiscoveredSites,
+             max_mismatch: int = 4,
+             maximum_off_targets: int = 2000,
+             min_gc: float = 0.0, max_gc: float = 1.0,
+             force_linear: bool = False,
+             backend: str = "auto",
+             stats: Optional[ScanStats] = None) -> List[GuideWithOffTargets]:
+    """Run the discover phase; returns guides in output order.
+
+    Mirrors OffTargetDiscovery.run (modules/OffTargetDiscovery.scala:79-153):
+    GC filter, guide sort by start, scan, per-guide OT aggregation with the
+    2000-position overflow cap, in traversal order.
+    """
+    if stats is None:
+        stats = ScanStats()
+    pack = db.pack
+    enc = db.bit_encoding()
+
+    bases = guide_sites.bases()
+    contexts = guide_sites.contexts if guide_sites.contexts is not None else [None] * len(guide_sites)
+    contig_names = [""] + guide_sites.contig_names
+
+    rows = []
+    for i in range(len(guide_sites)):
+        gc = gc_content(bases[i])
+        if gc < min_gc or gc > max_gc:
+            continue
+        rows.append(i)
+
+    guides: List[GuideWithOffTargets] = []
+    for i in rows:
+        guides.append(GuideWithOffTargets(
+            contig=contig_names[int(guide_sites.contig_ids[i])],
+            start=int(guide_sites.positions[i]),
+            bases=bases[i],
+            forward_strand=bool(guide_sites.forward[i]),
+            sequence_context=contexts[i],
+            long_encoding=int(guide_sites.sequences[i] & STRING_MASK | (np.uint64(1) << np.uint64(48))),
+            overflow_cap=maximum_off_targets,
+        ))
+
+    # ResultsAggregator presorts guides by start (CRISPRSiteOT.compare,
+    # crispr/CRISPRSiteOT.scala:64); stable for ties
+    guides.sort(key=lambda g: g.start)
+    guide_longs = np.array([g.long_encoding for g in guides], dtype=np.uint64)
+
+    if len(guides) == 0:
+        return guides
+
+    bmask = None
+    if not force_linear:
+        bmask = bin_guide_mask(db, guide_longs, max_mismatch)
+
+    t0 = time.time()
+    if backend == "numpy" or (backend == "auto" and not _tpu_available()):
+        hit_iter = _scan_numpy(db, guide_longs, max_mismatch, stats, bmask)
+    else:
+        from .ops.scan import scan_database_jax
+        hit_iter = scan_database_jax(db, guide_longs, max_mismatch, stats, bmask)
+    _collect_hits(db, guides, hit_iter)
+    stats.scan_seconds = time.time() - t0
+    return guides
+
+
+def _tpu_available() -> bool:
+    try:
+        import jax
+        return any(d.platform != "cpu" for d in jax.devices())
+    except Exception:
+        return False
+
+
+def brute_force_hits(db: Database, guide_long: int, max_mismatch: int):
+    """Oracle for tests: all (target_idx, mm) for one guide, scan order."""
+    enc = db.bit_encoding()
+    mm = enc.mismatches(np.uint64(guide_long), db.targets)
+    idx = np.nonzero(mm <= max_mismatch)[0]
+    return idx, mm[idx]

@@ -1,0 +1,150 @@
+"""Site-discovery tests, ported from the reference's SimpleSiteFinderTest.scala."""
+
+import numpy as np
+
+from flashfry_tpu.discovery import find_target_sites
+from flashfry_tpu.standards import (Cas9NAGParameterPack, Cas9NGGParameterPack,
+                                    Cas9ParameterPack, Cpf1ParameterPack)
+from flashfry_tpu.utils import reverse_comp_string
+
+
+def scan(seq, pack, flank=0, name="testContig"):
+    return find_target_sites(iter([(name, seq)]), pack,
+                             flanking_sequence=flank, capture_context=True)
+
+
+def s(x):
+    return x.replace(" ", "")
+
+
+def test_find_ngg_site():
+    # SimpleSiteFinderTest.scala:13-26
+    string = s("ATTTA AAAAA CCCCC AAAAA GGG")
+    sites = scan(string, Cas9NGGParameterPack)
+    assert len(sites) == 1
+    assert sites.bases()[0] == string
+    assert sites.contexts[0] is not None
+
+
+def test_find_context():
+    # SimpleSiteFinderTest.scala:28-42
+    guide = s("ATTTA AAAAA TTTTT AAAAA AGG")
+    string = s("ATA ATATA ATTTA AAAAA TTTTT AAAAA AGG AATTA AAT")
+    sites = scan(string, Cas9NGGParameterPack, flank=8)
+    assert len(sites) == 1
+    assert sites.bases()[0] == guide
+    assert sites.contexts[0] == string
+    assert int(sites.positions[0]) == 8
+
+
+def test_find_rc_ngg_site():
+    # SimpleSiteFinderTest.scala:44-55
+    string = s("CCTTA AAAAA CCCCC AAAAA AAA")
+    sites = scan(string, Cas9NGGParameterPack)
+    assert len(sites) == 1
+    assert sites.bases()[0] == reverse_comp_string(string)
+    assert not bool(sites.forward[0])
+
+
+def test_find_two_overlapping_cas9_sites():
+    # SimpleSiteFinderTest.scala:57-71 — overlapping matches found
+    string = s("A ATTTA AAAAA CCCCC AAAAA GGG")
+    sites = scan(string, Cas9NGGParameterPack)
+    assert len(sites) == 2
+    assert sites.bases()[0] == string[0:23]
+    assert sites.bases()[1] == string[1:24]
+
+
+def test_find_nag_site():
+    # SimpleSiteFinderTest.scala:73-84
+    string = s("ATTTA AAAAA CCCCC AAAAA GAG")
+    sites = scan(string, Cas9NAGParameterPack)
+    assert len(sites) == 1
+    assert sites.bases()[0] == string
+
+
+def test_find_rc_nag_site():
+    # SimpleSiteFinderTest.scala:86-97
+    string = s("CTTTA AAAAA CCCCC AAAAA AAA")
+    sites = scan(string, Cas9NAGParameterPack)
+    assert len(sites) == 1
+    assert sites.bases()[0] == reverse_comp_string(string)
+
+
+def test_find_two_nxg_sites():
+    # SimpleSiteFinderTest.scala:98-112 — combined NGG|NAG pack
+    string = s("A ATTTA AAAAA CCCCC AAAAA AGG")
+    sites = scan(string, Cas9ParameterPack)
+    assert len(sites) == 2
+    assert sites.bases()[0] == string[0:23]
+    assert sites.bases()[1] == string[1:24]
+
+
+def test_cpf1_like_fwd_detection():
+    # SimpleSiteFinderTest.scala:114-125 (actually an NGG scan in the original)
+    string = s("AAATA AAAAA CCCCC AAAAA GGG")
+    sites = scan(string, Cas9NGGParameterPack)
+    assert len(sites) == 1
+    assert sites.bases()[0] == string
+
+
+def test_find_two_cpf1_sites():
+    # SimpleSiteFinderTest.scala:127-141
+    string = s("TTTTA ATTTA AAAAA CCCCC AATTT")
+    sites = scan(string, Cpf1ParameterPack)
+    assert len(sites) == 2
+    assert sites.bases()[0] == string[0:24]
+    assert sites.bases()[1] == string[1:25]
+
+
+def test_find_two_rc_cpf1_sites():
+    # SimpleSiteFinderTest.scala:143-157
+    string = s("TAATA ATTTA AAAAA CCCCC AAAAA")
+    sites = scan(string, Cpf1ParameterPack)
+    assert len(sites) == 2
+    assert sites.bases()[0] == reverse_comp_string(string[0:24])
+    assert sites.bases()[1] == reverse_comp_string(string[1:25])
+
+
+def test_no_context_when_insufficient():
+    # SimpleSiteFinderTest.scala:160-173
+    string = s("ATTTA AAAAA CCCCC AAAAA GGG")
+    sites = scan(string, Cas9NGGParameterPack, flank=1)
+    assert len(sites) == 1
+    assert sites.contexts[0] is None
+
+
+def test_n_bases_drop_windows():
+    # the reference regexes only admit ACGT, so N-containing windows vanish
+    string = s("ATTTA AANAA CCCCC AAAAA GGG")
+    sites = scan(string, Cas9NGGParameterPack)
+    assert len(sites) == 0
+
+
+def test_fwd_then_rev_ordering_per_contig():
+    # ReferenceEncoder.scala:121-164 — fwd sites first, then rev
+    fwd = s("ATTTA AAAAA CCCCC AAAAA GGG")
+    rev = s("CCTTA AAAAA CCCCC AAAAA AAA")
+    string = rev + "AAAA" + fwd
+    sites = scan(string, Cas9NGGParameterPack)
+    assert len(sites) > 2
+    flags = sites.forward.tolist()
+    # all forward sites come before all reverse sites
+    assert flags == sorted(flags, reverse=True)
+    # and within each strand group, positions ascend
+    pos = sites.positions
+    n_f = sum(flags)
+    assert pos[:n_f].tolist() == sorted(pos[:n_f].tolist())
+    assert pos[n_f:].tolist() == sorted(pos[n_f:].tolist())
+
+
+def test_position_longs_roundtrip():
+    string = s("ATTTA AAAAA CCCCC AAAAA GGG")
+    sites = scan(string, Cas9NGGParameterPack)
+    pl = sites.position_longs()
+    bp = sites.bit_position
+    contig, start, size, fwd = bp.decode(int(pl[0]))
+    assert contig == "testContig"
+    assert start == 0
+    assert size == 23
+    assert fwd
