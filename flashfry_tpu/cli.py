@@ -48,15 +48,15 @@ def _add_score(sub):
     p.add_argument("--output", "-output", required=True)
     p.add_argument("--database", "-database", required=True)
     p.add_argument("--scoringMetrics", "-scoringMetrics", required=True)
-    p.add_argument("--maxMismatch", "-maxMismatch", type=int, default=4)
+    p.add_argument("--maxMismatch", "-maxMismatch", type=int, default=None,
+                   help="only consider off-targets within this mismatch distance (default: unlimited)")
     p.add_argument("--includeOTs", "-includeOTs", action="store_true")
     p.add_argument("--numericOutput", "-numericOutput", action="store_true")
     p.add_argument("--inputAnnotationBed", "-inputAnnotationBed", action="append", default=[])
     p.add_argument("--transformPositions", "-transformPositions", action="append", default=[])
     p.add_argument("--countOnTargetInScore", "-countOnTargetInScore", action="store_true")
-    p.add_argument("--maxReciprocalMismatch", "-maxReciprocalMismatch", type=int, default=4)
-    p.add_argument("--shortestGuideEnergy", "-shortestGuideEnergy", type=int, default=14)
-    p.add_argument("--filterOutOverflow", "-filterOutOverflow", action="store_true")
+    p.add_argument("--maxReciprocalMismatch", "-maxReciprocalMismatch", type=int, default=1)
+    p.add_argument("--shortestGuideEnergy", "-shortestGuideEnergy", type=int, default=-1)
     return p
 
 

@@ -187,8 +187,8 @@ def discover(db: Database, guide_sites: DiscoveredSites,
 
 def _tpu_available() -> bool:
     try:
-        import jax
-        return any(d.platform != "cpu" for d in jax.devices())
+        from .ops.scan import default_platform
+        return default_platform() != "cpu"
     except Exception:
         return False
 

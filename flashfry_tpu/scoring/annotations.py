@@ -1,0 +1,235 @@
+"""Annotation 'scores': dangerous sequences, closest hit, BED overlap,
+reciprocal off-targets.
+
+Counterparts of scoring/DangerousSequences.scala, scoring/ClosestHit.scala,
+scoring/BedAnnotation.scala and scoring/ReciprocalOffTargets.scala.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+from ..javafmt import java_double_to_string
+from ..positions import overlap
+from ..standards import ParameterPack
+from ..utils import gc_content
+from .base import ScoreModel, SingleGuideScoreModel
+
+
+class DangerousSequences(SingleGuideScoreModel):
+    """GC extremes, PolyT, in-genome exact-match count
+    (DangerousSequences.scala:49-68)."""
+
+    def __init__(self):
+        self._enc = None
+        self.clean_output = False
+
+    def score_name(self) -> str:
+        return "dangerous"
+
+    def score_description(self) -> str:
+        return "flag sequences that will be hard to create, or could confound analysis"
+
+    def header_columns(self) -> List[str]:
+        return ["dangerous_GC", "dangerous_polyT", "dangerous_in_genome"]
+
+    def valid_over_enzyme(self, pack) -> bool:
+        return True
+
+    def valid_over_target_sequence(self, pack, guide) -> bool:
+        return True
+
+    def bit_encoder(self, bit_encoding) -> None:
+        self._enc = bit_encoding
+
+    def score_guide(self, guide) -> List[List[str]]:
+        problems = ["0", "0", "0"] if self.clean_output else ["NONE", "NONE", "NONE"]
+        gc = gc_content(guide.bases)
+        if self.clean_output:
+            problems[0] = java_double_to_string(gc)
+        elif gc < 0.25 or gc > 0.75:
+            problems[0] = "GC_" + java_double_to_string(gc)
+
+        r0, r1 = self._enc.pack.guide_range
+        if "TTTT" in guide.bases[r0:r1]:
+            problems[1] = "1" if self.clean_output else "PolyT"
+
+        if guide.off_targets:
+            in_genome = sum(
+                int(self._enc.get_count(ot.sequence))
+                for ot in guide.off_targets
+                if int(self._enc.mismatches(ot.sequence, guide.long_encoding)) == 0)
+            if in_genome > 0:
+                problems[2] = str(in_genome) if self.clean_output else "IN_GENOME=" + str(in_genome)
+        return [[p] for p in problems]
+
+
+class ClosestHit(SingleGuideScoreModel):
+    """Minimum-mismatch off-target summary (ClosestHit.scala:43-76)."""
+
+    MAX_MM_STORED = 4
+
+    def __init__(self):
+        self._enc = None
+
+    def score_name(self) -> str:
+        return "closest"
+
+    def score_description(self) -> str:
+        return "recorded the minimum number of mismatches to the set of off-targets"
+
+    def header_columns(self) -> List[str]:
+        return ["basesDiffToClosestHit", "closestHitCount", "0-1-2-3-4_mismatch"]
+
+    def valid_over_enzyme(self, pack) -> bool:
+        return True
+
+    def valid_over_target_sequence(self, pack, guide) -> bool:
+        return True
+
+    def bit_encoder(self, bit_encoding) -> None:
+        self._enc = bit_encoding
+
+    def score_guide(self, guide) -> List[List[str]]:
+        closest = None
+        count = 0
+        ot_counts = [0] * (self.MAX_MM_STORED + 1)
+        for ot in guide.off_targets:
+            mm = int(self._enc.mismatches(ot.sequence, guide.long_encoding))
+            oc = int(self._enc.get_count(ot.sequence))
+            if mm <= self.MAX_MM_STORED:
+                ot_counts[mm] += oc
+            # exact reference branch structure (ClosestHit.scala:61-66):
+            # zero-mismatch hits never set `closest`, but do add to the count
+            # when `closest` already equals 0... which can't happen; replicate
+            if (closest is None or mm < closest) and mm > 0:
+                closest = mm
+                count = oc
+            elif closest is not None and mm == closest:
+                count += oc
+        if closest is None:
+            return [["UNK"], ["0"], [",".join(str(c) for c in ot_counts)]]
+        return [[str(closest)], [str(count)], [",".join(str(c) for c in ot_counts)]]
+
+
+class BedAnnotation(ScoreModel):
+    """BED-interval overlap annotation + optional position remapping
+    (BedAnnotation.scala:67-173)."""
+
+    OLD_CONTIG_TAG = "oldContig"
+
+    def __init__(self):
+        self.input_bed = ""
+        self.genome_transform = ""
+        self.input_bed_files: List[str] = []
+        self.input_bed_names: List[str] = []
+        self.is_remapping = False
+        self.mapping_intervals = None  # dict: contig -> (newContig, offset, stop, name)
+
+    def score_name(self) -> str:
+        return "BedAnnotator"
+
+    def score_description(self) -> str:
+        return "Annotated with overlaps to bed file " + ",".join(self.input_bed_files)
+
+    def header_columns(self) -> List[str]:
+        if self.is_remapping:
+            return self.input_bed_names + [self.OLD_CONTIG_TAG]
+        return list(self.input_bed_names)
+
+    def valid_over_enzyme(self, pack) -> bool:
+        return True
+
+    def valid_over_target_sequence(self, pack, guide) -> bool:
+        return True
+
+    def setup(self) -> None:
+        # BedAnnotation.scala:128-149
+        if not self.input_bed:
+            raise ValueError("If you request bed annotation you must provide a valid BED file")
+        for bed_file in self.input_bed.split(","):
+            assert ":" in bed_file, ("Bedfile command line argument " + bed_file +
+                                     " doesn't contain both a name and a file")
+            name, path = bed_file.split(":", 1)
+            assert os.path.exists(path), "The input bed file doesn't exist: " + path
+            self.input_bed_names.append(name)
+            self.input_bed_files.append(path)
+        if self.genome_transform:
+            self._parse_interval(self.genome_transform)
+            self.is_remapping = True
+
+    def _parse_interval(self, interval_file: str) -> None:
+        mapping = {}
+        with open(interval_file) as fh:
+            for line in fh:
+                line = line.rstrip("\n")
+                if not line:
+                    continue
+                parts = line.split("\t")
+                assert len(parts) == 4, "The interval didn't parse into a four part interval"
+                mapping[parts[3]] = (parts[0], int(parts[1]), int(parts[2]), parts[3])
+        self.mapping_intervals = mapping
+
+    def score_guides(self, guides, bit_enc, pos_enc, pack) -> None:
+        if self.mapping_intervals is not None:
+            # the reference loops guides once per interval entry; contig
+            # remapping is idempotent per guide because the contig changes
+            # after the first remap (BedAnnotation.scala:69-90)
+            for _ in self.mapping_intervals:
+                for guide in guides:
+                    ref = guide.contig
+                    if ref in self.mapping_intervals:
+                        new_pos = self.mapping_intervals[ref]
+                        guide.contig = new_pos[0]
+                        guide.start = guide.start + new_pos[1]
+                        guide.named_annotations.setdefault(self.OLD_CONTIG_TAG, []).append(ref)
+
+        for path, name in zip(self.input_bed_files, self.input_bed_names):
+            for entry in iterate_bed(path):
+                contig, start, stop, ename = entry[:4]
+                for guide in guides:
+                    if overlap(guide.contig, guide.start, len(guide.bases),
+                               contig, start, stop):
+                        guide.named_annotations.setdefault(name, []).append(ename)
+
+
+def iterate_bed(path: str):
+    """Minimal BED reader (utils/BedFileUtils.scala:27-76): tab-separated
+    contig/start/stop/name, '#' comments skipped."""
+    with open(path) as fh:
+        for line in fh:
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split("\t")
+            yield parts[0], int(parts[1]), int(parts[2]), parts[3]
+
+
+class ReciprocalOffTargets(ScoreModel):
+    """Guide-vs-guide closeness flags (ReciprocalOffTargets.scala:54-62)."""
+
+    def __init__(self):
+        self.max_mismatch = 1
+
+    def score_name(self) -> str:
+        return "ReciprocalOffTargets"
+
+    def score_description(self) -> str:
+        return "Will guides within this design target one-anothers sites? "
+
+    def header_columns(self) -> List[str]:
+        return ["ReciprocalOffTargets"]
+
+    def valid_over_enzyme(self, pack) -> bool:
+        return True
+
+    def valid_over_target_sequence(self, pack, guide) -> bool:
+        return True
+
+    def score_guides(self, guides, bit_enc, pos_enc, pack) -> None:
+        for g1 in guides:
+            for g2 in guides:
+                mm = int(bit_enc.mismatches(g1.long_encoding, g2.long_encoding))
+                if mm != 0 and mm <= self.max_mismatch:
+                    g1.named_annotations.setdefault(self.score_name(), []).append(g2.bases)

@@ -1,15 +1,24 @@
-"""Test configuration: force JAX onto a virtual 8-device CPU mesh.
+"""Test configuration: pin JAX to a virtual 8-device CPU mesh.
 
-Must run before any jax import so the XLA flags take effect.
+The axon TPU plugin registers its PJRT client at interpreter startup (via
+/root/.axon_site/sitecustomize.py), so JAX_PLATFORMS alone cannot hide the
+real chip. We instead set the CPU as jax's default device; mesh tests use
+jax.devices("cpu") explicitly.
 """
 
 import os
+import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
-import sys
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "tpu: tests that need the real TPU chip")

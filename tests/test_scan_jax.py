@@ -1,0 +1,128 @@
+"""JAX scan backend must agree exactly with the numpy XOR+popcount oracle."""
+
+import numpy as np
+import pytest
+
+from flashfry_tpu.bitcoding import BitEncoding
+from flashfry_tpu.database import build_database_from_sites
+from flashfry_tpu.discovery import find_target_sites
+from flashfry_tpu.engine import ScanStats, discover
+from flashfry_tpu.ops.scan import DeviceScanner, guide_onehot_matrix, split_words
+from flashfry_tpu.standards import Cas9NGGParameterPack, Cpf1ParameterPack
+
+
+def random_genome(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return "".join("ACGT"[i] for i in rng.integers(0, 4, size=n))
+
+
+def build_db(seq, pack):
+    sites = find_target_sites(iter([("chrT", seq)]), pack)
+    return build_database_from_sites(sites, 7)
+
+
+@pytest.mark.parametrize("pack", [Cas9NGGParameterPack, Cpf1ParameterPack])
+def test_device_scanner_matches_numpy(pack):
+    genome = random_genome(60000, seed=21)
+    db = build_db(genome, pack)
+    enc = db.bit_encoding()
+
+    gsrc = genome[2000:2600]
+    gsites = find_target_sites(iter([("g", gsrc)]), pack)
+    if len(gsites) == 0:
+        pytest.skip("no guides")
+    guide_longs = gsites.sequences
+
+    scanner = DeviceScanner(db, use_pallas=False, chunk=1 << 14, cap=1 << 12)
+    got = {}
+    for t_idx, g_idx, mm in scanner.scan(np.asarray(guide_longs), 4):
+        for t, g, m in zip(t_idx.tolist(), g_idx.tolist(), mm.tolist()):
+            got.setdefault(g, []).append((t, m))
+
+    expect_mm = enc.mismatches_cross(np.asarray(guide_longs, dtype=np.uint64), db.targets)
+    for g in range(len(gsites)):
+        t_hits = np.nonzero(expect_mm[g] <= 4)[0]
+        expect = [(int(t), int(expect_mm[g, t])) for t in t_hits]
+        assert got.get(g, []) == expect
+
+
+def test_guide_onehot_matrix_semantics():
+    pack = Cas9NGGParameterPack
+    enc = BitEncoding(pack)
+    guides = enc.encode_batch(["GAGTCCGAGCAGAAGAAGAAGGG", "A" * 23])
+    oh, n_active, G = guide_onehot_matrix(guides, pack)
+    assert G == 2
+    assert oh.shape[0] % 128 == 0
+    assert oh[0].sum() == 20  # 20 active guide bases
+    assert n_active[0] == 20
+    assert n_active[G] == 127  # padding rows can never hit
+    # inner product of a guide with itself = n_active
+    t_lo, t_hi = split_words(guides)
+    codes = []
+    L = pack.total_scan_length
+    for i in range(L):
+        s = 2 * (L - 1 - i)
+        if s < 32:
+            codes.append((t_lo[0] >> s) & 3)
+        else:
+            codes.append((t_hi[0] >> (s - 32)) & 3)
+    t_oh = np.zeros(4 * L)
+    for i, c in enumerate(codes):
+        t_oh[4 * i + int(c)] = 1
+    assert oh[0] @ t_oh == 20
+
+
+def test_discover_jax_backend_equals_numpy_backend():
+    genome = random_genome(50000, seed=22)
+    db = build_db(genome, Cas9NGGParameterPack)
+    gsites = find_target_sites(iter([("g", genome[1000:1400])]), Cas9NGGParameterPack,
+                               flanking_sequence=6, capture_context=True)
+    a = discover(db, gsites, max_mismatch=4, backend="numpy")
+    b = discover(db, gsites, max_mismatch=4, backend="jax")
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        assert x.bases == y.bases
+        assert [ot.sequence for ot in x.off_targets] == [ot.sequence for ot in y.off_targets]
+        assert x.full == y.full
+
+
+def test_stage2_cap_overflow_falls_back():
+    # tiny cap forces the host fallback path; results must still be exact
+    genome = random_genome(30000, seed=23)
+    db = build_db(genome, Cas9NGGParameterPack)
+    gsites = find_target_sites(iter([("g", genome[:2000])]), Cas9NGGParameterPack)
+    if len(gsites) == 0:
+        pytest.skip("no guides")
+    guide_longs = np.asarray(gsites.sequences)
+    enc = db.bit_encoding()
+
+    small = DeviceScanner(db, use_pallas=False, chunk=1 << 13, cap=2)
+    got = {}
+    for t_idx, g_idx, mm in small.scan(guide_longs, 4):
+        for t, g, m in zip(t_idx.tolist(), g_idx.tolist(), mm.tolist()):
+            got.setdefault(g, []).append((t, m))
+    expect_mm = enc.mismatches_cross(guide_longs, db.targets)
+    for g in range(len(gsites)):
+        t_hits = np.nonzero(expect_mm[g] <= 4)[0]
+        assert sorted(got.get(g, [])) == [(int(t), int(expect_mm[g, t])) for t in t_hits]
+
+
+def test_pallas_kernel_interpret_mode():
+    """Run the fused kernel in interpreter mode on CPU and compare."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+
+    genome = random_genome(20000, seed=24)
+    db = build_db(genome, Cas9NGGParameterPack)
+    gsites = find_target_sites(iter([("g", genome[500:800])]), Cas9NGGParameterPack)
+    if len(gsites) == 0:
+        pytest.skip("no guides")
+    guide_longs = np.asarray(gsites.sequences)
+
+    ref = DeviceScanner(db, use_pallas=False, chunk=1 << 13, cap=1 << 12)
+    expect = [(t.tolist(), g.tolist(), m.tolist()) for t, g, m in ref.scan(guide_longs, 4)]
+
+    with pltpu.force_tpu_interpret_mode():
+        pal = DeviceScanner(db, use_pallas=True, chunk=1 << 13, cap=1 << 12)
+        got = [(t.tolist(), g.tolist(), m.tolist()) for t, g, m in pal.scan(guide_longs, 4)]
+    assert got == expect
