@@ -179,10 +179,49 @@ class BitEncoding:
     def mismatches_cross(self, guides: np.ndarray, targets: np.ndarray,
                          additional_mask=STRING_MASK) -> np.ndarray:
         """(G, T) mismatch-count matrix: every guide against every target.
-        This is the host-side (numpy) reference for the TPU scan kernel."""
-        return self.mismatches(np.asarray(guides, dtype=np.uint64)[:, None],
-                               np.asarray(targets, dtype=np.uint64)[None, :],
-                               additional_mask)
+
+        Host-side (numpy) reference for the TPU scan kernel. Computed in row
+        blocks with in-place ops and two reusable scratch buffers — fresh
+        multi-hundred-MB temporaries are pathologically slow in sandboxed
+        environments with expensive first-touch page faults.
+        """
+        a = np.asarray(guides, dtype=np.uint64)
+        b = np.asarray(targets, dtype=np.uint64)
+        n, m = a.shape[0], b.shape[0]
+        mask = np.uint64(additional_mask) & self.comparison_mask
+        out = np.empty((n, m), dtype=np.int8)
+        block = max(1, min(n, (1 << 22) // max(m, 1) + 1))
+        x = np.empty((block, m), dtype=np.uint64)
+        s = np.empty((block, m), dtype=np.uint64)
+        m1 = np.uint64(0x5555555555555555)
+        m2 = np.uint64(0x3333333333333333)
+        m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+        h01 = np.uint64(0x0101010101010101)
+        with np.errstate(over="ignore"):
+            for lo in range(0, n, block):
+                hi = min(n, lo + block)
+                xv, sv = x[: hi - lo], s[: hi - lo]
+                np.bitwise_xor(a[lo:hi, None], b[None, :], out=xv)
+                xv &= mask
+                # fold 2-bit pairs to single bits at even positions
+                np.right_shift(xv, _U1, out=sv)
+                sv |= xv
+                sv &= LOWER_BITS
+                # SWAR popcount, in place
+                np.right_shift(sv, _U1, out=xv)
+                xv &= m1
+                sv -= xv
+                np.right_shift(sv, _U2, out=xv)
+                xv &= m2
+                sv &= m2
+                sv += xv
+                np.right_shift(sv, np.uint64(4), out=xv)
+                sv += xv
+                sv &= m4
+                sv *= h01
+                np.right_shift(sv, np.uint64(56), out=sv)
+                out[lo:hi] = sv
+        return out
 
     def mismatch_bin(self, bin_and_mask: BinAndMask, guides) -> np.ndarray:
         """Mismatches between a bin prefix and guides (BitEncoding.scala:142-144)."""

@@ -80,8 +80,8 @@ def _add_extract(sub):
     p = sub.add_parser("extract", help="Dump targets from the database to a FASTA")
     p.add_argument("--database", "-database", required=True)
     p.add_argument("--outputFile", "-outputFile", required=True)
-    p.add_argument("--inGenomeCountMin", "-inGenomeCountMin", type=int, default=0)
-    p.add_argument("--inGenomeCountMax", "-inGenomeCountMax", type=int, default=500)
+    p.add_argument("--minInGenome", "-minInGenome", type=int, default=0)
+    p.add_argument("--maxInGenome", "-maxInGenome", type=int, default=2 ** 31 - 1)
     p.add_argument("--subsampleProportion", "-subsampleProportion", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=None)
     return p

@@ -66,7 +66,7 @@ def bin_guide_mask(db: Database, guide_longs: np.ndarray, max_mismatch: int) -> 
         shift = np.uint64(2 * (p.total_scan_length - w))
     bins = (np.arange(num_bins, dtype=np.uint64) << shift) & STRING_MASK
     g = np.asarray(guide_longs, dtype=np.uint64)
-    mm = enc.mismatches(bins[:, None], (g & mask)[None, :])
+    mm = enc.mismatches_cross(bins, g & mask)
     return mm <= max_mismatch
 
 

@@ -105,15 +105,30 @@ def _unpack_onehot_jnp(lo, hi, L):
 
 @functools.lru_cache(maxsize=8)
 def _stage1_jit(L: int, max_mm: int, chunk: int, g_rows: int, use_pallas: bool):
-    """hit_any over a chunk: (lo, hi, guide_oh, n_active) -> (chunk,) bool."""
+    """hit_any over chunk [start, start+chunk) of the full packed arrays:
+    (lo_full, hi_full, start, guide_oh, n_active) -> (chunk,) bool.
+
+    Slicing happens inside jit so each chunk costs a single dispatch
+    (important over the remote-TPU tunnel, where per-call latency is high).
+    """
     import jax
     import jax.numpy as jnp
 
     if use_pallas:
         from .scan_kernel import stage1_pallas
-        return stage1_pallas(L, max_mm, chunk, g_rows)
+        inner = stage1_pallas(L, max_mm, chunk, g_rows)
 
-    def f(lo, hi, guide_oh, n_active):
+        @jax.jit
+        def f(lo_full, hi_full, start, guide_oh, n_active):
+            lo = jax.lax.dynamic_slice_in_dim(lo_full, start, chunk)
+            hi = jax.lax.dynamic_slice_in_dim(hi_full, start, chunk)
+            return inner(lo, hi, guide_oh, n_active)
+
+        return f
+
+    def f(lo_full, hi_full, start, guide_oh, n_active):
+        lo = jax.lax.dynamic_slice_in_dim(lo_full, start, chunk)
+        hi = jax.lax.dynamic_slice_in_dim(hi_full, start, chunk)
         t_oh = _unpack_onehot_jnp(lo, hi, L)                       # (4L, T)
         matches = jax.lax.dot(guide_oh.astype(jnp.bfloat16), t_oh,
                               preferred_element_type=jnp.float32)  # (G, T)
@@ -127,19 +142,19 @@ def _stage1_jit(L: int, max_mm: int, chunk: int, g_rows: int, use_pallas: bool):
 def _stage2_jit(L: int, cap: int, g_rows: int):
     """Gather hit columns + exact mismatch counts for them.
 
-    (hit_any, lo, hi, guide_oh, n_active, valid_len) ->
-      (n_hits, col_idx (cap,), mm (G, cap) int32)
+    (hit_any, lo_full, hi_full, start, guide_oh, n_active, valid_len) ->
+      (n_hits, col_idx (cap,), mm (G, cap) int8)  — col_idx chunk-relative
     """
     import jax
     import jax.numpy as jnp
 
-    def f(hit_any, lo, hi, guide_oh, n_active, valid_len):
+    def f(hit_any, lo_full, hi_full, start, guide_oh, n_active, valid_len):
         in_range = jnp.arange(hit_any.shape[0]) < valid_len
         hit_any = hit_any & in_range
         n = hit_any.sum()
         (col_idx,) = jnp.nonzero(hit_any, size=cap, fill_value=-1)
-        safe = jnp.maximum(col_idx, 0)
-        t_oh = _unpack_onehot_jnp(lo[safe], hi[safe], L)           # (4L, cap)
+        safe = start + jnp.maximum(col_idx, 0)
+        t_oh = _unpack_onehot_jnp(lo_full[safe], hi_full[safe], L)  # (4L, cap)
         matches = jax.lax.dot(guide_oh.astype(jnp.bfloat16), t_oh,
                               preferred_element_type=jnp.float32)
         mm = jnp.minimum(n_active[:, None] - matches, _PAD_MM).astype(jnp.int8)
@@ -148,20 +163,27 @@ def _stage2_jit(L: int, cap: int, g_rows: int):
     return jax.jit(f)
 
 
-DEFAULT_CHUNK = 1 << 20
-DEFAULT_CAP = 1 << 12
-PIPELINE_DEPTH = 8  # chunks in flight before forcing results to host
+DEFAULT_CHUNK = 1 << 23
+DEFAULT_CAP = 1 << 14
+PIPELINE_DEPTH = 4  # chunks in flight before forcing results to host
 
 
 class DeviceScanner:
     """Holds the database on device and scans guide batches against it."""
 
     def __init__(self, db: Database, use_pallas: Optional[bool] = None,
-                 chunk: int = DEFAULT_CHUNK, cap: int = DEFAULT_CAP):
+                 chunk: Optional[int] = None, cap: int = DEFAULT_CAP):
         import jax
         import jax.numpy as jnp
         self.db = db
         self.L = db.pack.total_scan_length
+        if use_pallas is None:
+            use_pallas = default_platform() == "tpu"
+        if chunk is None:
+            # the pallas kernel never materializes the (G, chunk) matrix, so
+            # big chunks amortize dispatch latency; the jnp fallback does
+            # materialize intermediates, so keep its chunks moderate
+            chunk = DEFAULT_CHUNK if use_pallas else (1 << 20)
         self.chunk = chunk
         self.cap = cap
         n = db.num_targets
@@ -174,8 +196,6 @@ class DeviceScanner:
         hi_pad[:n] = hi
         self.lo = jax.device_put(lo_pad)
         self.hi = jax.device_put(hi_pad)
-        if use_pallas is None:
-            use_pallas = default_platform() == "tpu"
         self.use_pallas = use_pallas
         # per-target bin ids for chunk-level pruning
         self._tgt_bin_bounds = db.bin_start
@@ -214,8 +234,11 @@ class DeviceScanner:
             if n > self.cap:
                 # overflow: fall back to exact host scan for this chunk
                 return list(self._host_chunk(lo_t, hi_t, guide_longs, max_mismatch))
-            col_idx = np.asarray(col_idx_dev)[:n]
-            mm_np = np.asarray(mm_dev)[:G, :n]         # (G, n)
+            # transfer only the used prefix (rounded for shape stability) —
+            # matters over the remote-TPU tunnel
+            k = min(self.cap, ((n + 255) // 256) * 256)
+            col_idx = np.asarray(col_idx_dev[:k])[:n]
+            mm_np = np.asarray(mm_dev[:, :k])[:G, :n]  # (G, n)
             hits = mm_np <= max_mismatch
             t_loc, g_idx = np.nonzero(hits.T)          # target-major order
             return [(col_idx[t_loc] + lo_t, g_idx, mm_np[g_idx, t_loc])]
@@ -224,11 +247,10 @@ class DeviceScanner:
             hi_t = min(self.n, lo_t + self.chunk)
             if not self._chunk_has_work(lo_t, hi_t, active_bins):
                 continue
-            lo_c = jax.lax.dynamic_slice_in_dim(self.lo, lo_t, self.chunk)
-            hi_c = jax.lax.dynamic_slice_in_dim(self.hi, lo_t, self.chunk)
-            hit_any = stage1(lo_c, hi_c, guide_oh_d, n_active_d)
-            n, col_idx, mm = stage2(hit_any, lo_c, hi_c, guide_oh_d, n_active_d,
-                                    hi_t - lo_t)
+            start = np.int32(lo_t)
+            hit_any = stage1(self.lo, self.hi, start, guide_oh_d, n_active_d)
+            n, col_idx, mm = stage2(hit_any, self.lo, self.hi, start,
+                                    guide_oh_d, n_active_d, np.int32(hi_t - lo_t))
             if stats is not None:
                 stats.all_targets += hi_t - lo_t
                 stats.dense_comparisons += (hi_t - lo_t) * G
