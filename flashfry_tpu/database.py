@@ -38,6 +38,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+from . import native
 from .bitcoding import BitEncoding, STRING_MASK, all_bins
 from .discovery import DiscoveredSites, find_target_sites
 from .positions import BitPosition
@@ -97,9 +98,24 @@ def build_database_from_sites(sites: DiscoveredSites, bin_width: int = DEFAULT_B
     n = len(sites)
 
     seqs = sites.sequences & STRING_MASK  # strip the per-site count of 1
-    pos_longs = sites.position_longs()
-
     bin_idx = enc.bin_index_of_targets(seqs, bin_width)
+
+    built = native.build_index(seqs, bin_idx, sites.contig_ids, sites.positions,
+                               sites.forward, pack.total_scan_length,
+                               4 ** bin_width, max_positions_per_target)
+    if built is not None:
+        targets, positions, pos_offsets, bin_start = built
+        return Database(
+            pack=pack,
+            bin_width=bin_width,
+            targets=targets,
+            positions=positions,
+            pos_offsets=pos_offsets,
+            bin_start=bin_start,
+            contig_names=sites.contig_names,
+        )
+
+    pos_longs = sites.position_longs()
 
     # global scan order: (bin, full sequence); stable so that equal sequences
     # keep their discovery order, which fixes position-list ordering

@@ -26,6 +26,7 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from . import native
 from .bitcoding import _BASE_LUT, codes_to_longs, codes_to_strings
 from .positions import BitPosition
 from .standards import ParameterPack
@@ -96,7 +97,20 @@ class DiscoveredSites:
 
 def _scan_codes(codes: np.ndarray, patterns: Sequence[str], L: int) -> np.ndarray:
     """Return sorted start indices where any pattern matches and the whole
-    window is ACGT-only."""
+    window is ACGT-only. Uses the native C++ scanner when available
+    (native/flashfry_native.cpp), else vectorized numpy."""
+    n = codes.shape[0]
+    if n < L:
+        return np.zeros(0, dtype=np.int64)
+    hits = native.scan_sites(codes, patterns, L)
+    if hits is not None:
+        return hits
+    return _scan_codes_numpy(codes, patterns, L)
+
+
+def _scan_codes_numpy(codes: np.ndarray, patterns: Sequence[str], L: int) -> np.ndarray:
+    """Pure-numpy reference scanner (fallback + parity oracle for the native
+    path)."""
     n = codes.shape[0]
     if n < L:
         return np.zeros(0, dtype=np.int64)
@@ -120,6 +134,19 @@ def _extract_windows(codes: np.ndarray, starts: np.ndarray, L: int) -> np.ndarra
     if starts.size == 0:
         return np.zeros((0, L), dtype=np.uint8)
     return codes[starts[:, None] + np.arange(L)[None, :]]
+
+
+def _pack_from_starts(codes: np.ndarray, starts: np.ndarray, L: int,
+                      reverse_complement: bool) -> np.ndarray:
+    """Pack windows straight from start offsets into uint64 sequence bits,
+    avoiding the (N, L) window materialization when the native library is up."""
+    packed = native.pack_windows(codes, starts, L, reverse_complement)
+    if packed is not None:
+        return packed
+    windows = _extract_windows(codes, starts.astype(np.int64), L)
+    if reverse_complement:
+        windows = (3 - windows)[:, ::-1]
+    return codes_to_longs(windows)
 
 
 def scan_contig(sequence_codes: np.ndarray, pack: ParameterPack):
@@ -158,15 +185,11 @@ def find_target_sites(fasta_iter, pack: ParameterPack,
         codes = _BASE_LUT[raw]
         fwd_starts, rev_starts = scan_contig(codes, pack)
 
-        fwd_windows = _extract_windows(codes, fwd_starts, L)
-        rev_windows = _extract_windows(codes, rev_starts, L)
-        # reverse complement: complement is 3 - code, then reverse base order
-        rev_windows = (3 - rev_windows)[:, ::-1]
-
         n_f, n_r = fwd_starts.size, rev_starts.size
         count_one = np.uint64(1) << np.uint64(48)
-        all_longs.append(codes_to_longs(fwd_windows) | count_one)
-        all_longs.append(codes_to_longs(rev_windows) | count_one)
+        # pack straight from offsets (reverse strand as reverse complement)
+        all_longs.append(_pack_from_starts(codes, fwd_starts, L, False) | count_one)
+        all_longs.append(_pack_from_starts(codes, rev_starts, L, True) | count_one)
         all_positions.append(fwd_starts.astype(np.int64))
         all_positions.append(rev_starts.astype(np.int64))
         all_forward.append(np.ones(n_f, dtype=bool))
@@ -174,6 +197,9 @@ def find_target_sites(fasta_iter, pack: ParameterPack,
         all_contig_ids.append(np.full(n_f + n_r, cid, dtype=np.int64))
 
         if capture_context:
+            fwd_windows = _extract_windows(codes, fwd_starts.astype(np.int64), L)
+            rev_windows = _extract_windows(codes, rev_starts.astype(np.int64), L)
+            rev_windows = (3 - rev_windows)[:, ::-1]
             bases_accum.extend(codes_to_strings(fwd_windows))
             bases_accum.extend(codes_to_strings(rev_windows))
             full = L + 2 * flanking_sequence

@@ -1,0 +1,184 @@
+"""Build-on-demand ctypes loader for the native host kernels.
+
+The C++ source lives in native/flashfry_native.cpp; it is compiled once per
+machine with g++ -O3 (OpenMP when available) into a cached shared object and
+loaded with ctypes. Everything degrades gracefully: if no compiler is present
+or compilation fails, callers fall back to the pure-numpy paths
+(``get_native()`` returns None).
+
+Set FLASHFRY_TPU_NO_NATIVE=1 to force the numpy fallback.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "native", "flashfry_native.cpp")
+
+_lib = None
+_lib_tried = False
+
+
+def _build_lib() -> Optional[ctypes.CDLL]:
+    if not os.path.exists(_SRC):
+        return None
+    with open(_SRC, "rb") as fh:
+        digest = hashlib.sha256(fh.read()).hexdigest()[:16]
+    cache_dir = os.environ.get("FLASHFRY_TPU_CACHE",
+                               os.path.join(tempfile.gettempdir(), "flashfry_tpu_native"))
+    os.makedirs(cache_dir, exist_ok=True)
+    so_path = os.path.join(cache_dir, "flashfry_native_%s.so" % digest)
+    if not os.path.exists(so_path):
+        tmp = so_path + ".%d.tmp" % os.getpid()
+        base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", tmp]
+        for cmd in (base + ["-fopenmp"], base):  # retry without OpenMP
+            try:
+                res = subprocess.run(cmd, capture_output=True, timeout=120)
+            except (OSError, subprocess.TimeoutExpired):
+                return None
+            if res.returncode == 0:
+                os.replace(tmp, so_path)
+                break
+        else:
+            return None
+    lib = ctypes.CDLL(so_path)
+    i64, i32, u8p = ctypes.c_int64, ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8)
+    i32p, i64p = ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    lib.ff_scan_sites.restype = i64
+    lib.ff_scan_sites.argtypes = [u8p, i64, i32, i32, i32p, i32p, u8p, i64p, i64]
+    lib.ff_pack_windows.restype = None
+    lib.ff_pack_windows.argtypes = [u8p, i64p, i64, i32, i32, u64p]
+    lib.ff_group_sorted.restype = i64
+    lib.ff_group_sorted.argtypes = [u64p, i64, u64p, i64p]
+    lib.ff_build_index.restype = i64
+    lib.ff_build_index.argtypes = [u64p, i64p, i64p, i64p, u8p, i32,
+                                   i64, i64, i64, u64p, u64p, i64p, i64p, i64p]
+    return lib
+
+
+def get_native() -> Optional[ctypes.CDLL]:
+    global _lib, _lib_tried
+    if not _lib_tried:
+        _lib_tried = True
+        if os.environ.get("FLASHFRY_TPU_NO_NATIVE"):
+            _lib = None
+        else:
+            try:
+                _lib = _build_lib()
+            except Exception:
+                _lib = None
+    return _lib
+
+
+def _ptr(arr: np.ndarray, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def compile_patterns(patterns: Sequence[str]) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Full-window {A,C,G,T,N} patterns -> (starts, offsets, bases) constraint
+    arrays for ff_scan_sites. N positions impose no constraint."""
+    code_of = {"A": 0, "C": 1, "G": 2, "T": 3}
+    starts: List[int] = [0]
+    offsets: List[int] = []
+    bases: List[int] = []
+    for pat in patterns:
+        for off, ch in enumerate(pat):
+            if ch != "N":
+                offsets.append(off)
+                bases.append(code_of[ch])
+        starts.append(len(offsets))
+    return (np.asarray(starts, dtype=np.int32),
+            np.asarray(offsets, dtype=np.int32),
+            np.asarray(bases, dtype=np.uint8))
+
+
+def scan_sites(codes: np.ndarray, patterns: Sequence[str], L: int) -> Optional[np.ndarray]:
+    """Native window scan; returns sorted start indices, or None if the
+    native library is unavailable."""
+    lib = get_native()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    starts, offsets, bases = compile_patterns(patterns)
+    n = codes.shape[0]
+    cap = max(1024, n // 4 + 16)
+    while True:
+        out = np.empty(cap, dtype=np.int64)
+        got = lib.ff_scan_sites(
+            _ptr(codes, ctypes.c_uint8), n, L, len(patterns),
+            _ptr(starts, ctypes.c_int32), _ptr(offsets, ctypes.c_int32),
+            _ptr(bases, ctypes.c_uint8), _ptr(out, ctypes.c_int64), cap)
+        if got >= 0:
+            return out[:got].copy()
+        cap = max(cap * 2, n + 1)  # n+1 windows is a hard upper bound
+
+
+def pack_windows(codes: np.ndarray, starts: np.ndarray, L: int,
+                 reverse_complement: bool = False) -> Optional[np.ndarray]:
+    """Pack (and optionally reverse-complement) L-base windows into uint64s."""
+    lib = get_native()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    out = np.empty(starts.shape[0], dtype=np.uint64)
+    lib.ff_pack_windows(_ptr(codes, ctypes.c_uint8), _ptr(starts, ctypes.c_int64),
+                        starts.shape[0], L, 1 if reverse_complement else 0,
+                        _ptr(out, ctypes.c_uint64))
+    return out
+
+
+def build_index(seqs: np.ndarray, bins: np.ndarray, contig_ids: np.ndarray,
+                positions: np.ndarray, forward: np.ndarray, target_length: int,
+                num_bins: int, max_positions_per_target: int):
+    """One-pass sort/dedup/CSR database build. Returns
+    (targets, positions, pos_offsets, bin_start) or None when the native
+    library is unavailable or num_bins exceeds the 16-bit composite-key room."""
+    lib = get_native()
+    if lib is None or num_bins > (1 << 16):
+        return None
+    n = seqs.shape[0]
+    seqs = np.ascontiguousarray(seqs, dtype=np.uint64)
+    bins = np.ascontiguousarray(bins, dtype=np.int64)
+    contig_ids = np.ascontiguousarray(contig_ids, dtype=np.int64)
+    positions = np.ascontiguousarray(positions, dtype=np.int64)
+    forward = np.ascontiguousarray(forward, dtype=np.uint8)
+    targets_out = np.empty(n, dtype=np.uint64)
+    positions_out = np.empty(n, dtype=np.uint64)
+    pos_offsets_out = np.empty(n + 1, dtype=np.int64)
+    bin_start_out = np.empty(num_bins + 1, dtype=np.int64)
+    n_pos = np.zeros(1, dtype=np.int64)
+    nt = lib.ff_build_index(
+        _ptr(seqs, ctypes.c_uint64), _ptr(bins, ctypes.c_int64),
+        _ptr(contig_ids, ctypes.c_int64), _ptr(positions, ctypes.c_int64),
+        _ptr(forward, ctypes.c_uint8), target_length, n, num_bins,
+        max_positions_per_target,
+        _ptr(targets_out, ctypes.c_uint64), _ptr(positions_out, ctypes.c_uint64),
+        _ptr(pos_offsets_out, ctypes.c_int64), _ptr(bin_start_out, ctypes.c_int64),
+        _ptr(n_pos, ctypes.c_int64))
+    np_kept = int(n_pos[0])
+    return (targets_out[:nt].copy(), positions_out[:np_kept].copy(),
+            pos_offsets_out[:nt + 1].copy(), bin_start_out)
+
+
+def group_sorted(sorted_vals: np.ndarray) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Run-length group a sorted uint64 array -> (unique values, counts)."""
+    lib = get_native()
+    if lib is None:
+        return None
+    sorted_vals = np.ascontiguousarray(sorted_vals, dtype=np.uint64)
+    n = sorted_vals.shape[0]
+    uniq = np.empty(n, dtype=np.uint64)
+    counts = np.empty(n, dtype=np.int64)
+    g = lib.ff_group_sorted(_ptr(sorted_vals, ctypes.c_uint64), n,
+                            _ptr(uniq, ctypes.c_uint64), _ptr(counts, ctypes.c_int64))
+    return uniq[:g].copy(), counts[:g].copy()
