@@ -179,9 +179,14 @@ def build_database(fasta_path: str, pack: ParameterPack,
 # serialization
 # ---------------------------------------------------------------------------
 
-def save_database(db: Database, path: str) -> None:
+def save_database(db: Database, path: str, compressed: bool = False) -> None:
     """Write the database (single .npz-format file at exactly `path`) plus a
-    FlashFry-style text sidecar header at `path + ".header"`."""
+    FlashFry-style text sidecar header at `path + ".header"`.
+
+    Uncompressed by default: members of a stored (uncompressed) zip are
+    contiguous on disk, so load_database can memory-map every array for
+    instant, lazy loading — the discover phase then pages straight from the
+    file into the device-upload path."""
     meta = {
         "magic": MAGIC_NUMBER,
         "version": VERSION,
@@ -189,8 +194,9 @@ def save_database(db: Database, path: str) -> None:
         "bin_width": db.bin_width,
         "contigs": db.contig_names,
     }
+    writer = np.savez_compressed if compressed else np.savez
     with open(path, "wb") as fh:
-        np.savez_compressed(
+        writer(
             fh,
             targets=db.targets,
             positions=db.positions,
@@ -199,6 +205,41 @@ def save_database(db: Database, path: str) -> None:
             meta=np.frombuffer(json.dumps(meta).encode("utf-8"), dtype=np.uint8),
         )
     write_text_header(db, path + HEADER_EXTENSION)
+
+
+def _memmap_npz_members(path: str) -> Optional[Dict[str, np.ndarray]]:
+    """Memory-map every member of an UNCOMPRESSED npz. Returns None when any
+    member is deflated (falls back to np.load) or the npy header is exotic."""
+    out: Dict[str, np.ndarray] = {}
+    with open(path, "rb") as fh:
+        try:
+            zf = zipfile.ZipFile(fh)
+        except zipfile.BadZipFile:
+            return None
+        for info in zf.infolist():
+            if info.compress_type != zipfile.ZIP_STORED:
+                return None
+            # local file header: 30 fixed bytes + name + extra (lengths in
+            # the LOCAL header can differ from the central directory's)
+            fh.seek(info.header_offset)
+            lh = fh.read(30)
+            if lh[:4] != b"PK\x03\x04":
+                return None
+            name_len = int.from_bytes(lh[26:28], "little")
+            extra_len = int.from_bytes(lh[28:30], "little")
+            data_off = info.header_offset + 30 + name_len + extra_len
+            fh.seek(data_off)
+            try:
+                version = np.lib.format.read_magic(fh)
+                shape, fortran, dtype = np.lib.format._read_array_header(fh, version)
+            except (ValueError, KeyError):
+                return None
+            if fortran or dtype.hasobject:
+                return None
+            key = info.filename[:-4] if info.filename.endswith(".npy") else info.filename
+            out[key] = np.memmap(path, dtype=dtype, mode="r",
+                                 offset=fh.tell(), shape=shape)
+    return out
 
 
 def write_text_header(db: Database, header_path: str) -> None:
@@ -225,18 +266,22 @@ def write_text_header(db: Database, header_path: str) -> None:
 
 
 def load_database(path: str) -> Database:
-    with np.load(path, allow_pickle=False) as data:
-        meta = json.loads(bytes(data["meta"]).decode("utf-8"))
-        if meta["magic"] != MAGIC_NUMBER:
-            raise ValueError("Database %s doesn't have the magic number expected" % path)
-        if meta["version"] != VERSION:
-            raise ValueError("Database %s has version %s, expected %d" % (path, meta["version"], VERSION))
-        return Database(
-            pack=index_to_parameter_pack(meta["enzyme_index"]),
-            bin_width=meta["bin_width"],
-            targets=data["targets"].astype(np.uint64),
-            positions=data["positions"].astype(np.uint64),
-            pos_offsets=data["pos_offsets"],
-            bin_start=data["bin_start"],
-            contig_names=list(meta["contigs"]),
-        )
+    arrays = _memmap_npz_members(path)
+    if arrays is None:  # compressed / legacy file
+        with np.load(path, allow_pickle=False) as data:
+            arrays = {k: data[k] for k in
+                      ("targets", "positions", "pos_offsets", "bin_start", "meta")}
+    meta = json.loads(bytes(arrays["meta"]).decode("utf-8"))
+    if meta["magic"] != MAGIC_NUMBER:
+        raise ValueError("Database %s doesn't have the magic number expected" % path)
+    if meta["version"] != VERSION:
+        raise ValueError("Database %s has version %s, expected %d" % (path, meta["version"], VERSION))
+    return Database(
+        pack=index_to_parameter_pack(meta["enzyme_index"]),
+        bin_width=meta["bin_width"],
+        targets=arrays["targets"].view(np.uint64),
+        positions=arrays["positions"].view(np.uint64),
+        pos_offsets=np.asarray(arrays["pos_offsets"]),
+        bin_start=np.asarray(arrays["bin_start"]),
+        contig_names=list(meta["contigs"]),
+    )

@@ -38,6 +38,33 @@ from ..standards import ParameterPack
 _PAD_MM = 127  # mismatch count assigned to guide padding rows
 
 
+_cache_enabled = False
+
+
+def enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache: the scan kernels compile once per
+    (shape, enzyme) and are reused across CLI invocations. First TPU compile
+    is tens of seconds; with the cache, repeat discover runs start scanning
+    immediately. Opt out with FLASHFRY_TPU_NO_COMPILE_CACHE=1."""
+    global _cache_enabled
+    if _cache_enabled:
+        return
+    _cache_enabled = True
+    import os
+    if os.environ.get("FLASHFRY_TPU_NO_COMPILE_CACHE"):
+        return
+    import tempfile
+    import jax
+    cache_dir = os.environ.get(
+        "FLASHFRY_TPU_COMPILE_CACHE",
+        os.path.join(tempfile.gettempdir(), "flashfry_tpu_xla_cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def default_platform() -> str:
     """The platform jax will actually place arrays on, honoring
     jax.config.jax_default_device (used by tests to pin CPU even though the
@@ -175,6 +202,7 @@ class DeviceScanner:
                  chunk: Optional[int] = None, cap: int = DEFAULT_CAP):
         import jax
         import jax.numpy as jnp
+        enable_compilation_cache()
         self.db = db
         self.L = db.pack.total_scan_length
         if use_pallas is None:
@@ -210,9 +238,32 @@ class DeviceScanner:
     def scan(self, guide_longs: np.ndarray, max_mismatch: int,
              bin_mask: Optional[np.ndarray] = None,
              stats=None) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
-        """Yield (target_idx, guide_idx, mm) per chunk in global target order."""
+        """Yield (target_idx, guide_idx, mm) batches; within each guide, hits
+        arrive in global target order (the ordering the overflow cap needs).
+
+        Guides run in fixed-size blocks (128..1024 rows) so every device
+        executable has one of a handful of static shapes — compiled once,
+        persistently cached, reused for any guide count.
+        """
+        g_all = np.asarray(guide_longs, dtype=np.uint64)
+        n_guides = g_all.shape[0]
+        block = 128
+        while block < n_guides and block < 1024:
+            block *= 2
+        for g_lo in range(0, max(n_guides, 1), block):
+            g_hi = min(n_guides, g_lo + block)
+            sub_mask = bin_mask[:, g_lo:g_hi] if bin_mask is not None else None
+            for t_idx, g_idx, mm in self._scan_guide_block(
+                    g_all[g_lo:g_hi], max_mismatch, sub_mask, stats, block):
+                yield t_idx, g_idx + g_lo, mm
+
+    def _scan_guide_block(self, guide_longs: np.ndarray, max_mismatch: int,
+                          bin_mask: Optional[np.ndarray], stats,
+                          pad_to: int) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """One fixed-shape guide block against the whole database."""
         import jax
-        guide_oh, n_active, G = guide_onehot_matrix(guide_longs, self.db.pack)
+        guide_oh, n_active, G = guide_onehot_matrix(guide_longs, self.db.pack,
+                                                    pad_to=pad_to)
         guide_oh_d = jax.device_put(guide_oh)
         n_active_d = jax.device_put(n_active)
         stage1 = _stage1_jit(self.L, max_mismatch, self.chunk, guide_oh.shape[0], self.use_pallas)
