@@ -114,6 +114,22 @@ def guide_onehot_matrix(guide_longs: np.ndarray, pack: ParameterPack,
 # device: unpack + one-hot
 # ---------------------------------------------------------------------------
 
+def _packed_nonzero(mask, size: int):
+    """Indices of the first `size` set bits of a 1-D bool array, packed.
+
+    Equivalent to jnp.nonzero(mask, size=size) but lowered as cumsum +
+    binary search (searchsorted) instead of an n-element scatter — scatters
+    serialize badly on TPU, turning compaction into the scan bottleneck.
+    Returns (idx int32[size] — entries beyond the true count clamp to n-1,
+    count int32)."""
+    import jax.numpy as jnp
+    cnt = jnp.cumsum(mask.astype(jnp.int32))
+    n = cnt[-1]
+    idx = jnp.searchsorted(cnt, jnp.arange(1, size + 1, dtype=jnp.int32),
+                           side="left")
+    return jnp.minimum(idx, mask.shape[0] - 1).astype(jnp.int32), n
+
+
 def _unpack_onehot_jnp(lo, hi, L):
     """(T,) int32 pair -> (4L, T) bf16 one-hot (column-major targets)."""
     import jax.numpy as jnp
@@ -166,6 +182,86 @@ def _stage1_jit(L: int, max_mm: int, chunk: int, g_rows: int, use_pallas: bool):
 
 
 @functools.lru_cache(maxsize=8)
+def _fused_scan_jit(L: int, max_mm: int, chunk: int, g_rows: int,
+                    n_chunks: int, col_cap: int, trip_cap: int,
+                    use_pallas: bool):
+    """Whole-database scan in ONE device dispatch.
+
+    A lax.fori_loop walks every chunk: stage-1 hit detection (Pallas kernel /
+    jnp), on-device column compaction, exact mismatch recount for the hit
+    columns, then flat compaction of (target, guide, mm) triplets appended to
+    global buffers. Only the compact triplet buffers ever cross the
+    host<->device link — essential over a high-latency remote-TPU tunnel
+    where per-dispatch round trips would otherwise dominate the scan.
+
+    Returns (count, overflow, t_buf, g_buf, mm_buf); triplets are ordered
+    (chunk, target, guide) = global target-major, the order FlashFry applies
+    hits in (reference/traverser/SeekTraverser.scala:58-104).
+
+    col_cap: max stage-1 hit targets per chunk; trip_cap: max total triplets.
+    If either overflows, the overflow flag is set and the caller falls back.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if use_pallas:
+        from .scan_kernel import stage1_pallas
+        inner = stage1_pallas(L, max_mm, chunk, g_rows)
+    else:
+        def inner(lo, hi, guide_oh, n_active):
+            t_oh = _unpack_onehot_jnp(lo, hi, L)
+            matches = jax.lax.dot(guide_oh.astype(jnp.bfloat16), t_oh,
+                                  preferred_element_type=jnp.float32)
+            mm = n_active[:, None] - matches
+            return (mm <= max_mm).any(axis=0)
+
+    # per-chunk triplet block size: nonzero packs real hits first, so the
+    # block is appended with one contiguous dynamic_update_slice (TPU scatter
+    # lowering is slow; DUS is a plain copy). Buffers are over-allocated by a
+    # block so the append window never clamps.
+    block_cap = min(trip_cap, col_cap * 4)
+
+    def f(lo_full, hi_full, guide_oh, n_active, n_targets):
+        guide_bf = guide_oh.astype(jnp.bfloat16)
+
+        def body(c, carry):
+            count, overflow, t_buf, g_buf, mm_buf = carry
+            start = c * chunk
+            lo = jax.lax.dynamic_slice_in_dim(lo_full, start, chunk)
+            hi = jax.lax.dynamic_slice_in_dim(hi_full, start, chunk)
+            hit = inner(lo, hi, guide_oh, n_active)                # (chunk,)
+            hit = hit & ((start + jnp.arange(chunk)) < n_targets)
+            cols, n_cols = _packed_nonzero(hit, col_cap)
+            # exact mismatch counts for the hit columns
+            t_oh = _unpack_onehot_jnp(lo[cols], hi[cols], L)       # (4L, cap)
+            matches = jax.lax.dot(guide_bf, t_oh,
+                                  preferred_element_type=jnp.float32)
+            mm = jnp.minimum(n_active[:, None] - matches, _PAD_MM)  # (G, cap)
+            col_ok = jnp.arange(col_cap) < n_cols
+            mmT = mm.T                                             # (cap, G)
+            hits2d = (mmT <= max_mm) & col_ok[:, None]
+            flat, k = _packed_nonzero(hits2d.reshape(-1), block_cap)
+            g_idx = (flat % g_rows).astype(jnp.int32)
+            t_idx = (start + cols[flat // g_rows]).astype(jnp.int32)
+            mm_v = mmT.reshape(-1)[flat].astype(jnp.int8)
+            safe = jnp.minimum(count, trip_cap)
+            t_buf = jax.lax.dynamic_update_slice_in_dim(t_buf, t_idx, safe, 0)
+            g_buf = jax.lax.dynamic_update_slice_in_dim(g_buf, g_idx, safe, 0)
+            mm_buf = jax.lax.dynamic_update_slice_in_dim(mm_buf, mm_v, safe, 0)
+            count = count + k
+            overflow = overflow | (n_cols > col_cap) | (k > block_cap) | (count > trip_cap)
+            return count, overflow, t_buf, g_buf, mm_buf
+
+        carry = (jnp.int32(0), jnp.bool_(False),
+                 jnp.zeros(trip_cap + block_cap, jnp.int32),
+                 jnp.zeros(trip_cap + block_cap, jnp.int32),
+                 jnp.zeros(trip_cap + block_cap, jnp.int8))
+        return jax.lax.fori_loop(0, n_chunks, body, carry)
+
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=8)
 def _stage2_jit(L: int, cap: int, g_rows: int):
     """Gather hit columns + exact mismatch counts for them.
 
@@ -192,6 +288,7 @@ def _stage2_jit(L: int, cap: int, g_rows: int):
 
 DEFAULT_CHUNK = 1 << 23
 DEFAULT_CAP = 1 << 14
+TRIPLET_CAP = 1 << 17   # max (guide, target) hit pairs per fused block scan
 PIPELINE_DEPTH = 4  # chunks in flight before forcing results to host
 
 
@@ -199,10 +296,12 @@ class DeviceScanner:
     """Holds the database on device and scans guide batches against it."""
 
     def __init__(self, db: Database, use_pallas: Optional[bool] = None,
-                 chunk: Optional[int] = None, cap: int = DEFAULT_CAP):
+                 chunk: Optional[int] = None, cap: int = DEFAULT_CAP,
+                 trip_cap: int = TRIPLET_CAP):
         import jax
         import jax.numpy as jnp
         enable_compilation_cache()
+        self.trip_cap = trip_cap
         self.db = db
         self.L = db.pack.total_scan_length
         if use_pallas is None:
@@ -260,7 +359,39 @@ class DeviceScanner:
     def _scan_guide_block(self, guide_longs: np.ndarray, max_mismatch: int,
                           bin_mask: Optional[np.ndarray], stats,
                           pad_to: int) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
-        """One fixed-shape guide block against the whole database."""
+        """One fixed-shape guide block against the whole database, in a
+        single fused device dispatch (per-chunk pipeline as fallback)."""
+        import jax
+        guide_oh, n_active, G = guide_onehot_matrix(guide_longs, self.db.pack,
+                                                    pad_to=pad_to)
+        n_chunks = self.lo.shape[0] // self.chunk
+        fused = _fused_scan_jit(self.L, max_mismatch, self.chunk,
+                                guide_oh.shape[0], n_chunks, self.cap,
+                                self.trip_cap, self.use_pallas)
+        count_d, overflow_d, t_d, g_d, mm_d = fused(
+            self.lo, self.hi, jax.device_put(guide_oh),
+            jax.device_put(n_active), np.int32(self.n))
+        count = int(count_d)
+        if stats is not None:
+            stats.all_targets += self.n * (1 if G else 0)
+            stats.dense_comparisons += self.n * G
+            stats.all_comparisons += self.n * G
+        if not bool(overflow_d) and count <= self.trip_cap:
+            if count == 0:
+                return
+            k = min(self.trip_cap, ((count + 1023) // 1024) * 1024)
+            t_idx = np.asarray(t_d[:k])[:count].astype(np.int64)
+            g_idx = np.asarray(g_d[:k])[:count].astype(np.int64)
+            mm = np.asarray(mm_d[:k])[:count]
+            yield t_idx, g_idx, mm
+            return
+        yield from self._scan_guide_block_chunked(guide_longs, max_mismatch,
+                                                  bin_mask, None, pad_to)
+
+    def _scan_guide_block_chunked(self, guide_longs: np.ndarray, max_mismatch: int,
+                                  bin_mask: Optional[np.ndarray], stats,
+                                  pad_to: int) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """Per-chunk two-stage pipeline (fallback for triplet-cap overflow)."""
         import jax
         guide_oh, n_active, G = guide_onehot_matrix(guide_longs, self.db.pack,
                                                     pad_to=pad_to)

@@ -126,3 +126,21 @@ def test_pallas_kernel_interpret_mode():
         pal = DeviceScanner(db, use_pallas=True, chunk=1 << 13, cap=1 << 12)
         got = [(t.tolist(), g.tolist(), m.tolist()) for t, g, m in pal.scan(guide_longs, 4)]
     assert got == expect
+
+
+def test_fused_overflow_falls_back_to_chunked():
+    """A tiny triplet cap forces the per-chunk fallback; hits must match."""
+    genome = random_genome(30000, seed=5)
+    db = build_db(genome, Cas9NGGParameterPack)
+    gsites = find_target_sites(iter([("g", genome[1000:1800])]), Cas9NGGParameterPack)
+    guide_longs = np.asarray(gsites.sequences)
+    normal = DeviceScanner(db, use_pallas=False, chunk=1 << 10)
+    tiny = DeviceScanner(db, use_pallas=False, chunk=1 << 10, trip_cap=8)
+    got_a = [(int(t), int(g), int(m))
+             for ts, gs, ms in normal.scan(guide_longs, 4)
+             for t, g, m in zip(ts, gs, ms)]
+    got_b = [(int(t), int(g), int(m))
+             for ts, gs, ms in tiny.scan(guide_longs, 4)
+             for t, g, m in zip(ts, gs, ms)]
+    assert sorted(got_a) == sorted(got_b)
+    assert len(got_a) > 8  # the cap really was exceeded
