@@ -11,17 +11,21 @@ popcount loop, we observe that for 2-bit base codes
 where onehot(x) is the 4L-wide one-hot expansion of the L bases and the guide
 side is zeroed at PAM/masked positions. The inner product over a batch of
 guides and a block of targets is a (G, 4L) x (4L, T) matmul — exactly what
-the MXU does at speed-of-light. At bf16 the products are exact (0/1 values,
-sums <= 24 << 256).
+the MXU does at speed-of-light. At int8 the products are exact (0/1 values,
+sums <= 24).
 
-Two-stage pipeline to avoid materializing the (G, N) matrix in HBM:
+Device data layout (chosen from measurement, see ops/scan_kernel.py and
+tools/profile_scan.py): the database lives in HBM as PLANE-MAJOR base codes,
+a (32, N) int8 array (row i = base i of every target, rows >= L zero). All
+kernel traffic is then full-lane rows; the packed-int64 form is only a host
+format.
 
-  stage 1 (per chunk): hit_any[t] = any_g(mismatches(g,t) <= k)   [MXU + VPU]
-  stage 2 (per chunk): gather the few hit columns, recompute the exact
-           (G, CAP) mismatch counts, ship that small block to host.
-
-Stage 1 runs either as a fused Pallas kernel (unpack + one-hot + matmul in
-VMEM, only 1 byte/target written back) or as plain jnp for interpret/CPU.
+Whole-database scans run as ONE device dispatch (a fori_loop over chunks with
+on-device hit compaction); the only device->host traffic per guide block is a
+single fixed-size int32 buffer holding the packed (target, guide, mm)
+triplets plus a count/overflow header. This matters doubly over the
+remote-TPU tunnel, where every fetch costs ~100 ms of latency regardless of
+size.
 """
 
 from __future__ import annotations
@@ -80,12 +84,31 @@ def default_platform() -> str:
 # host-side preparation
 # ---------------------------------------------------------------------------
 
+CODE_ROWS = 32  # plane rows (L <= 24; padded to the int8 sublane tile)
+
+
 def split_words(longs: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """uint64 -> (lo32, hi16) as int32 arrays (sequence bits only)."""
     seq = np.asarray(longs, dtype=np.uint64) & STRING_MASK
     lo = (seq & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
     hi = (seq >> np.uint64(32)).astype(np.uint32).view(np.int32)
     return lo, hi
+
+
+def plane_codes(longs: np.ndarray, L: int, n_pad: Optional[int] = None) -> np.ndarray:
+    """Packed int64 targets -> (32, N_pad) int8 plane-major base codes.
+
+    Row i holds base i (0..3) of every target; rows >= L are zero. This is
+    the HBM-resident database layout (see module docstring)."""
+    seq = np.asarray(longs, dtype=np.uint64) & STRING_MASK
+    n = seq.shape[0]
+    if n_pad is None:
+        n_pad = n
+    out = np.zeros((CODE_ROWS, n_pad), dtype=np.int8)
+    for i in range(L):
+        s = np.uint64(2 * (L - 1 - i))
+        out[i, :n] = ((seq >> s) & np.uint64(3)).astype(np.int8)
+    return out
 
 
 def guide_onehot_matrix(guide_longs: np.ndarray, pack: ParameterPack,
@@ -111,8 +134,16 @@ def guide_onehot_matrix(guide_longs: np.ndarray, pack: ParameterPack,
 
 
 # ---------------------------------------------------------------------------
-# device: unpack + one-hot
+# device helpers
 # ---------------------------------------------------------------------------
+
+def codes_onehot_jnp(codes, L: int):
+    """(32, T) int8 plane codes -> (4L, T) bf16 one-hot."""
+    import jax.numpy as jnp
+    c = codes[:L].astype(jnp.int32)                                 # (L, T)
+    oh = (c[:, None, :] == jnp.arange(4, dtype=jnp.int32)[None, :, None])
+    return oh.reshape(4 * L, -1).astype(jnp.bfloat16)
+
 
 def _packed_nonzero(mask, size: int):
     """Indices of the first `size` set bits of a 1-D bool array, packed.
@@ -130,59 +161,8 @@ def _packed_nonzero(mask, size: int):
     return jnp.minimum(idx, mask.shape[0] - 1).astype(jnp.int32), n
 
 
-def _unpack_onehot_jnp(lo, hi, L):
-    """(T,) int32 pair -> (4L, T) bf16 one-hot (column-major targets)."""
-    import jax.numpy as jnp
-    cols = []
-    for i in range(L):
-        s = 2 * (L - 1 - i)
-        if s < 32:
-            c = (lo >> s) & 3
-        else:
-            c = (hi >> (s - 32)) & 3
-        cols.append(c)
-    codes = jnp.stack(cols)  # (L, T) int32
-    onehot = (codes[:, None, :] == jnp.arange(4, dtype=jnp.int32)[None, :, None])
-    return onehot.reshape(4 * L, -1).astype(jnp.bfloat16)
-
-
-@functools.lru_cache(maxsize=8)
-def _stage1_jit(L: int, max_mm: int, chunk: int, g_rows: int, use_pallas: bool):
-    """hit_any over chunk [start, start+chunk) of the full packed arrays:
-    (lo_full, hi_full, start, guide_oh, n_active) -> (chunk,) bool.
-
-    Slicing happens inside jit so each chunk costs a single dispatch
-    (important over the remote-TPU tunnel, where per-call latency is high).
-    """
-    import jax
-    import jax.numpy as jnp
-
-    if use_pallas:
-        from .scan_kernel import stage1_pallas
-        inner = stage1_pallas(L, max_mm, chunk, g_rows)
-
-        @jax.jit
-        def f(lo_full, hi_full, start, guide_oh, n_active):
-            lo = jax.lax.dynamic_slice_in_dim(lo_full, start, chunk)
-            hi = jax.lax.dynamic_slice_in_dim(hi_full, start, chunk)
-            return inner(lo, hi, guide_oh, n_active)
-
-        return f
-
-    def f(lo_full, hi_full, start, guide_oh, n_active):
-        lo = jax.lax.dynamic_slice_in_dim(lo_full, start, chunk)
-        hi = jax.lax.dynamic_slice_in_dim(hi_full, start, chunk)
-        t_oh = _unpack_onehot_jnp(lo, hi, L)                       # (4L, T)
-        matches = jax.lax.dot(guide_oh.astype(jnp.bfloat16), t_oh,
-                              preferred_element_type=jnp.float32)  # (G, T)
-        mm = n_active[:, None] - matches
-        return (mm <= max_mm).any(axis=0)
-
-    return jax.jit(f)
-
-
-@functools.lru_cache(maxsize=8)
-def _fused_scan_jit(L: int, max_mm: int, chunk: int, g_rows: int,
+@functools.lru_cache(maxsize=16)
+def _fused_scan_jit(L: int, n_act: int, max_mm: int, chunk: int, g_rows: int,
                     n_chunks: int, col_cap: int, trip_cap: int,
                     use_pallas: bool):
     """Whole-database scan in ONE device dispatch.
@@ -190,50 +170,60 @@ def _fused_scan_jit(L: int, max_mm: int, chunk: int, g_rows: int,
     A lax.fori_loop walks every chunk: stage-1 hit detection (Pallas kernel /
     jnp), on-device column compaction, exact mismatch recount for the hit
     columns, then flat compaction of (target, guide, mm) triplets appended to
-    global buffers. Only the compact triplet buffers ever cross the
-    host<->device link — essential over a high-latency remote-TPU tunnel
-    where per-dispatch round trips would otherwise dominate the scan.
+    a global buffer. Returns a single (2, trip_cap + block_cap + 2) int32
+    buffer — row 0 = target idx, row 1 = guide_idx << 8 | mm, with
+    [0, -2] = triplet count and [0, -1] = overflow flag — so ONE fetch moves
+    everything across the host<->device link (each fetch costs ~100 ms of
+    tunnel latency; the old 4-fetch protocol spent ~0.4 s/scan on latency
+    alone).
 
-    Returns (count, overflow, t_buf, g_buf, mm_buf); triplets are ordered
-    (chunk, target, guide) = global target-major, the order FlashFry applies
-    hits in (reference/traverser/SeekTraverser.scala:58-104).
+    Triplets are ordered (chunk, target, guide) = global target-major, the
+    order FlashFry applies hits in (reference/traverser/SeekTraverser.scala:
+    58-104).
 
     col_cap: max stage-1 hit targets per chunk; trip_cap: max total triplets.
-    If either overflows, the overflow flag is set and the caller falls back.
+    If either overflows, the overflow flag is set and the caller retries with
+    larger caps.
     """
     import jax
     import jax.numpy as jnp
 
+    thr = max(n_act - max_mm, 1)
+
     if use_pallas:
         from .scan_kernel import stage1_pallas
-        inner = stage1_pallas(L, max_mm, chunk, g_rows)
+        inner = stage1_pallas(n_act, max_mm, chunk, g_rows)
+
+        def stage1(codes_chunk, guide_i8, guide_bf):
+            return inner(codes_chunk, guide_i8)
     else:
-        def inner(lo, hi, guide_oh, n_active):
-            t_oh = _unpack_onehot_jnp(lo, hi, L)
-            matches = jax.lax.dot(guide_oh.astype(jnp.bfloat16), t_oh,
-                                  preferred_element_type=jnp.float32)
-            mm = n_active[:, None] - matches
-            return (mm <= max_mm).any(axis=0)
+        def stage1(codes_chunk, guide_i8, guide_bf):
+            t_oh = codes_onehot_jnp(codes_chunk, L)
+            m = jax.lax.dot(guide_bf, t_oh, preferred_element_type=jnp.float32)
+            return (m >= float(thr)).any(axis=0)
 
     # per-chunk triplet block size: nonzero packs real hits first, so the
     # block is appended with one contiguous dynamic_update_slice (TPU scatter
-    # lowering is slow; DUS is a plain copy). Buffers are over-allocated by a
-    # block so the append window never clamps.
+    # lowering is slow; DUS is a plain copy). The buffer is over-allocated by
+    # a block so the append window never clamps.
     block_cap = min(trip_cap, col_cap * 4)
+    width = trip_cap + block_cap + 2
 
-    def f(lo_full, hi_full, guide_oh, n_active, n_targets):
-        guide_bf = guide_oh.astype(jnp.bfloat16)
+    def f(codes_full, guide_oh, n_active, n_targets):
+        guide_bf = guide_oh.astype(jnp.bfloat16)                   # (G, 4L)
+        guide_i8 = jnp.zeros((g_rows, 128), jnp.int8)
+        guide_i8 = guide_i8.at[:, :4 * L].set(guide_oh.astype(jnp.int8))
 
         def body(c, carry):
-            count, overflow, t_buf, g_buf, mm_buf = carry
+            count, overflow, buf = carry
             start = c * chunk
-            lo = jax.lax.dynamic_slice_in_dim(lo_full, start, chunk)
-            hi = jax.lax.dynamic_slice_in_dim(hi_full, start, chunk)
-            hit = inner(lo, hi, guide_oh, n_active)                # (chunk,)
+            codes_chunk = jax.lax.dynamic_slice_in_dim(codes_full, start,
+                                                       chunk, axis=1)
+            hit = stage1(codes_chunk, guide_i8, guide_bf)          # (chunk,)
             hit = hit & ((start + jnp.arange(chunk)) < n_targets)
             cols, n_cols = _packed_nonzero(hit, col_cap)
             # exact mismatch counts for the hit columns
-            t_oh = _unpack_onehot_jnp(lo[cols], hi[cols], L)       # (4L, cap)
+            t_oh = codes_onehot_jnp(codes_chunk[:, cols], L)       # (4L, cap)
             matches = jax.lax.dot(guide_bf, t_oh,
                                   preferred_element_type=jnp.float32)
             mm = jnp.minimum(n_active[:, None] - matches, _PAD_MM)  # (G, cap)
@@ -243,102 +233,67 @@ def _fused_scan_jit(L: int, max_mm: int, chunk: int, g_rows: int,
             flat, k = _packed_nonzero(hits2d.reshape(-1), block_cap)
             g_idx = (flat % g_rows).astype(jnp.int32)
             t_idx = (start + cols[flat // g_rows]).astype(jnp.int32)
-            mm_v = mmT.reshape(-1)[flat].astype(jnp.int8)
+            mm_v = mmT.reshape(-1)[flat].astype(jnp.int32)
+            block = jnp.stack([t_idx, (g_idx << 8) | mm_v])        # (2, block_cap)
             safe = jnp.minimum(count, trip_cap)
-            t_buf = jax.lax.dynamic_update_slice_in_dim(t_buf, t_idx, safe, 0)
-            g_buf = jax.lax.dynamic_update_slice_in_dim(g_buf, g_idx, safe, 0)
-            mm_buf = jax.lax.dynamic_update_slice_in_dim(mm_buf, mm_v, safe, 0)
+            buf = jax.lax.dynamic_update_slice(buf, block, (0, safe))
             count = count + k
             overflow = overflow | (n_cols > col_cap) | (k > block_cap) | (count > trip_cap)
-            return count, overflow, t_buf, g_buf, mm_buf
+            return count, overflow, buf
 
         carry = (jnp.int32(0), jnp.bool_(False),
-                 jnp.zeros(trip_cap + block_cap, jnp.int32),
-                 jnp.zeros(trip_cap + block_cap, jnp.int32),
-                 jnp.zeros(trip_cap + block_cap, jnp.int8))
-        return jax.lax.fori_loop(0, n_chunks, body, carry)
-
-    return jax.jit(f)
-
-
-@functools.lru_cache(maxsize=8)
-def _stage2_jit(L: int, cap: int, g_rows: int):
-    """Gather hit columns + exact mismatch counts for them.
-
-    (hit_any, lo_full, hi_full, start, guide_oh, n_active, valid_len) ->
-      (n_hits, col_idx (cap,), mm (G, cap) int8)  — col_idx chunk-relative
-    """
-    import jax
-    import jax.numpy as jnp
-
-    def f(hit_any, lo_full, hi_full, start, guide_oh, n_active, valid_len):
-        in_range = jnp.arange(hit_any.shape[0]) < valid_len
-        hit_any = hit_any & in_range
-        n = hit_any.sum()
-        (col_idx,) = jnp.nonzero(hit_any, size=cap, fill_value=-1)
-        safe = start + jnp.maximum(col_idx, 0)
-        t_oh = _unpack_onehot_jnp(lo_full[safe], hi_full[safe], L)  # (4L, cap)
-        matches = jax.lax.dot(guide_oh.astype(jnp.bfloat16), t_oh,
-                              preferred_element_type=jnp.float32)
-        mm = jnp.minimum(n_active[:, None] - matches, _PAD_MM).astype(jnp.int8)
-        return n, col_idx, mm
+                 jnp.zeros((2, width), jnp.int32))
+        count, overflow, buf = jax.lax.fori_loop(0, n_chunks, body, carry)
+        buf = buf.at[0, width - 2].set(count)
+        buf = buf.at[0, width - 1].set(overflow.astype(jnp.int32))
+        return buf
 
     return jax.jit(f)
 
 
 DEFAULT_CHUNK = 1 << 23
-DEFAULT_CAP = 1 << 14
+DEFAULT_CAP = 1 << 12   # max stage-1 hit targets per chunk
 TRIPLET_CAP = 1 << 17   # max (guide, target) hit pairs per fused block scan
-PIPELINE_DEPTH = 4  # chunks in flight before forcing results to host
+MAX_RETRIES = 3         # cap-doubling retries before the exact host fallback
 
 
 class DeviceScanner:
-    """Holds the database on device and scans guide batches against it."""
+    """Holds the database on device (plane-major codes) and scans guide
+    batches against it."""
 
     def __init__(self, db: Database, use_pallas: Optional[bool] = None,
                  chunk: Optional[int] = None, cap: int = DEFAULT_CAP,
                  trip_cap: int = TRIPLET_CAP):
         import jax
-        import jax.numpy as jnp
         enable_compilation_cache()
         self.trip_cap = trip_cap
         self.db = db
         self.L = db.pack.total_scan_length
+        self.n_act = len(db.pack.comparison_mask_positions())
         if use_pallas is None:
             use_pallas = default_platform() == "tpu"
         if chunk is None:
-            # the pallas kernel never materializes the (G, chunk) matrix, so
-            # big chunks amortize dispatch latency; the jnp fallback does
-            # materialize intermediates, so keep its chunks moderate
             chunk = DEFAULT_CHUNK if use_pallas else (1 << 20)
+        from .scan_kernel import T_TILE
+        if use_pallas and chunk % T_TILE:
+            chunk = max(T_TILE, (chunk // T_TILE) * T_TILE)
         self.chunk = chunk
         self.cap = cap
         n = db.num_targets
         self.n = n
         n_pad = max(chunk, int(np.ceil(max(n, 1) / chunk)) * chunk)
-        lo, hi = split_words(db.targets)
-        lo_pad = np.zeros(n_pad, dtype=np.int32)
-        hi_pad = np.zeros(n_pad, dtype=np.int32)
-        lo_pad[:n] = lo
-        hi_pad[:n] = hi
-        self.lo = jax.device_put(lo_pad)
-        self.hi = jax.device_put(hi_pad)
+        self.codes = jax.device_put(plane_codes(db.targets, self.L, n_pad))
         self.use_pallas = use_pallas
-        # per-target bin ids for chunk-level pruning
-        self._tgt_bin_bounds = db.bin_start
-
-    def _chunk_has_work(self, lo_t: int, hi_t: int, active_bins: Optional[np.ndarray]) -> bool:
-        if active_bins is None:
-            return True
-        b0 = int(np.searchsorted(self._tgt_bin_bounds, lo_t, side="right")) - 1
-        b1 = int(np.searchsorted(self._tgt_bin_bounds, hi_t - 1, side="right")) - 1
-        return bool(active_bins[b0:b1 + 1].any())
 
     def scan(self, guide_longs: np.ndarray, max_mismatch: int,
              bin_mask: Optional[np.ndarray] = None,
              stats=None) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
         """Yield (target_idx, guide_idx, mm) batches; within each guide, hits
         arrive in global target order (the ordering the overflow cap needs).
+
+        The dense device scan returns exactly the hits FlashFry's pruned
+        traversal finds (bin pruning is lossless), so bin_mask is not needed
+        for correctness; it is accepted for interface parity and ignored.
 
         Guides run in fixed-size blocks (128..1024 rows) so every device
         executable has one of a handful of static shapes — compiled once,
@@ -351,110 +306,59 @@ class DeviceScanner:
             block *= 2
         for g_lo in range(0, max(n_guides, 1), block):
             g_hi = min(n_guides, g_lo + block)
-            sub_mask = bin_mask[:, g_lo:g_hi] if bin_mask is not None else None
             for t_idx, g_idx, mm in self._scan_guide_block(
-                    g_all[g_lo:g_hi], max_mismatch, sub_mask, stats, block):
+                    g_all[g_lo:g_hi], max_mismatch, stats, block):
                 yield t_idx, g_idx + g_lo, mm
 
     def _scan_guide_block(self, guide_longs: np.ndarray, max_mismatch: int,
-                          bin_mask: Optional[np.ndarray], stats,
-                          pad_to: int) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+                          stats, pad_to: int) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
         """One fixed-shape guide block against the whole database, in a
-        single fused device dispatch (per-chunk pipeline as fallback)."""
+        single fused device dispatch. On cap overflow, retry with doubled
+        caps (each size compiles once, persistently cached); after
+        MAX_RETRIES, fall back to the exact host scan."""
         import jax
         guide_oh, n_active, G = guide_onehot_matrix(guide_longs, self.db.pack,
                                                     pad_to=pad_to)
-        n_chunks = self.lo.shape[0] // self.chunk
-        fused = _fused_scan_jit(self.L, max_mismatch, self.chunk,
-                                guide_oh.shape[0], n_chunks, self.cap,
-                                self.trip_cap, self.use_pallas)
-        count_d, overflow_d, t_d, g_d, mm_d = fused(
-            self.lo, self.hi, jax.device_put(guide_oh),
-            jax.device_put(n_active), np.int32(self.n))
-        count = int(count_d)
-        if stats is not None:
-            stats.all_targets += self.n * (1 if G else 0)
+        n_chunks = self.codes.shape[1] // self.chunk
+        if stats is not None and G:
+            stats.all_targets += self.n
             stats.dense_comparisons += self.n * G
             stats.all_comparisons += self.n * G
-        if not bool(overflow_d) and count <= self.trip_cap:
-            if count == 0:
-                return
-            k = min(self.trip_cap, ((count + 1023) // 1024) * 1024)
-            t_idx = np.asarray(t_d[:k])[:count].astype(np.int64)
-            g_idx = np.asarray(g_d[:k])[:count].astype(np.int64)
-            mm = np.asarray(mm_d[:k])[:count]
-            yield t_idx, g_idx, mm
-            return
-        yield from self._scan_guide_block_chunked(guide_longs, max_mismatch,
-                                                  bin_mask, None, pad_to)
-
-    def _scan_guide_block_chunked(self, guide_longs: np.ndarray, max_mismatch: int,
-                                  bin_mask: Optional[np.ndarray], stats,
-                                  pad_to: int) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
-        """Per-chunk two-stage pipeline (fallback for triplet-cap overflow)."""
-        import jax
-        guide_oh, n_active, G = guide_onehot_matrix(guide_longs, self.db.pack,
-                                                    pad_to=pad_to)
         guide_oh_d = jax.device_put(guide_oh)
         n_active_d = jax.device_put(n_active)
-        stage1 = _stage1_jit(self.L, max_mismatch, self.chunk, guide_oh.shape[0], self.use_pallas)
-        stage2 = _stage2_jit(self.L, self.cap, guide_oh.shape[0])
 
-        active_bins = bin_mask.any(axis=1) if bin_mask is not None else None
+        col_cap, trip_cap = self.cap, self.trip_cap
+        for _attempt in range(1 + MAX_RETRIES):
+            fused = _fused_scan_jit(self.L, self.n_act, max_mismatch,
+                                    self.chunk, guide_oh.shape[0], n_chunks,
+                                    col_cap, trip_cap, self.use_pallas)
+            buf = np.asarray(fused(self.codes, guide_oh_d, n_active_d,
+                                   np.int32(self.n)))  # ONE fetch
+            count = int(buf[0, -2])
+            overflow = bool(buf[0, -1])
+            if not overflow and count <= trip_cap:
+                if count:
+                    packed = buf[1, :count]
+                    yield (buf[0, :count].astype(np.int64),
+                           (packed >> 8).astype(np.int64),
+                           (packed & 0xFF).astype(np.int8))
+                return
+            col_cap *= 4
+            trip_cap *= 4
+        yield from self._host_scan(guide_longs, max_mismatch)
 
-        # pipelined dispatch: enqueue several chunks of device work before
-        # blocking on the first result, so device compute, the host loop and
-        # device->host transfers overlap (jax dispatch is async)
-        from collections import deque
-        in_flight = deque()
-
-        def drain_one():
-            lo_t, hi_t, n_dev, col_idx_dev, mm_dev = in_flight.popleft()
-            n = int(n_dev)
-            if n == 0:
-                return None
-            if n > self.cap:
-                # overflow: fall back to exact host scan for this chunk
-                return list(self._host_chunk(lo_t, hi_t, guide_longs, max_mismatch))
-            # transfer only the used prefix (rounded for shape stability) —
-            # matters over the remote-TPU tunnel
-            k = min(self.cap, ((n + 255) // 256) * 256)
-            col_idx = np.asarray(col_idx_dev[:k])[:n]
-            mm_np = np.asarray(mm_dev[:, :k])[:G, :n]  # (G, n)
-            hits = mm_np <= max_mismatch
-            t_loc, g_idx = np.nonzero(hits.T)          # target-major order
-            return [(col_idx[t_loc] + lo_t, g_idx, mm_np[g_idx, t_loc])]
-
-        for lo_t in range(0, self.n, self.chunk):
-            hi_t = min(self.n, lo_t + self.chunk)
-            if not self._chunk_has_work(lo_t, hi_t, active_bins):
-                continue
-            start = np.int32(lo_t)
-            hit_any = stage1(self.lo, self.hi, start, guide_oh_d, n_active_d)
-            n, col_idx, mm = stage2(hit_any, self.lo, self.hi, start,
-                                    guide_oh_d, n_active_d, np.int32(hi_t - lo_t))
-            if stats is not None:
-                stats.all_targets += hi_t - lo_t
-                stats.dense_comparisons += (hi_t - lo_t) * G
-                stats.all_comparisons += (hi_t - lo_t) * G
-            in_flight.append((lo_t, hi_t, n, col_idx, mm))
-            if len(in_flight) >= PIPELINE_DEPTH:
-                out = drain_one()
-                if out:
-                    yield from out
-        while in_flight:
-            out = drain_one()
-            if out:
-                yield from out
-
-    def _host_chunk(self, lo_t, hi_t, guide_longs, max_mismatch):
+    def _host_scan(self, guide_longs, max_mismatch,
+                   chunk: int = 1 << 20):
+        """Exact vectorized host fallback (target-major global order)."""
         from ..bitcoding import BitEncoding
         enc = BitEncoding(self.db.pack)
-        mm = enc.mismatches_cross(self.db.targets[lo_t:hi_t], np.asarray(guide_longs, dtype=np.uint64))
-        hits = mm <= max_mismatch
-        t_idx, g_idx = np.nonzero(hits)
-        if t_idx.size:
-            yield t_idx + lo_t, g_idx, mm[t_idx, g_idx].astype(np.int8)
+        g = np.asarray(guide_longs, dtype=np.uint64)
+        for lo in range(0, self.n, chunk):
+            hi = min(self.n, lo + chunk)
+            mm = enc.mismatches_cross(self.db.targets[lo:hi], g)
+            t_idx, g_idx = np.nonzero(mm <= max_mismatch)
+            if t_idx.size:
+                yield t_idx + lo, g_idx, mm[t_idx, g_idx].astype(np.int8)
 
 
 def scan_database_jax(db: Database, guide_longs: np.ndarray, max_mismatch: int,

@@ -3,8 +3,10 @@
 The reference is a single-threaded JVM program (SURVEY.md §2 checklist); this
 module supplies the missing scaling axes, TPU-native:
 
-  * "db" mesh axis     — the genome target database is sharded across chips
-                         (contiguous global-scan-order slabs, HBM-resident);
+  * "db" mesh axis     — the genome target database (plane-major codes, see
+                         ops/scan.py) is sharded across chips along the
+                         target axis (contiguous global-scan-order slabs,
+                         HBM-resident);
   * "guides" mesh axis — the guide batch is data-parallel;
   * per-target hit flags are merged with a max-reduce over the guide axis,
     comparison counters with a psum over both axes — XLA collectives over
@@ -16,8 +18,7 @@ multi-host discover path.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -53,7 +54,7 @@ def make_sharded_scan_step(mesh, L: int, max_mm: int):
     """Build the jitted multi-chip discover step.
 
     Inputs (global shapes):
-      lo, hi      (N,)  int32   packed target words, sharded over "db"
+      codes       (32, N) int8  plane-major target codes, sharded over "db"
       guide_oh    (G, 4L) f32   guide one-hot, sharded over "guides"
       n_active    (G,)  f32     per-guide active-base count (127 for padding)
 
@@ -66,10 +67,10 @@ def make_sharded_scan_step(mesh, L: int, max_mm: int):
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
-    from ..ops.scan import _unpack_onehot_jnp
+    from ..ops.scan import codes_onehot_jnp
 
-    def local_step(lo, hi, guide_oh, n_active):
-        t_oh = _unpack_onehot_jnp(lo, hi, L)                     # (4L, T_loc)
+    def local_step(codes, guide_oh, n_active):
+        t_oh = codes_onehot_jnp(codes, L)                        # (4L, T_loc)
         matches = jax.lax.dot(guide_oh.astype(jnp.bfloat16), t_oh,
                               preferred_element_type=jnp.float32)  # (G_loc, T_loc)
         mm = n_active[:, None] - matches
@@ -82,7 +83,7 @@ def make_sharded_scan_step(mesh, L: int, max_mm: int):
 
     step = shard_map(
         local_step, mesh=mesh,
-        in_specs=(P("db"), P("db"), P("guides", None), P("guides")),
+        in_specs=(P(None, "db"), P("guides", None), P("guides")),
         out_specs=(P("db"), P()),
         check_vma=False,
     )
@@ -96,7 +97,7 @@ def sharded_scan_demo(n_devices: int, targets_per_device: int = 1024,
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from ..bitcoding import BitEncoding
-    from ..ops.scan import guide_onehot_matrix, split_words
+    from ..ops.scan import guide_onehot_matrix, plane_codes
     from ..standards import Cas9NGGParameterPack
 
     mesh = make_mesh(n_devices)
@@ -114,15 +115,14 @@ def sharded_scan_demo(n_devices: int, targets_per_device: int = 1024,
     target_longs = enc.encode_batch(seqs)
     guide_longs = target_longs[:G]  # guides drawn from targets: guaranteed hits
 
-    lo, hi = split_words(target_longs)
+    code_planes = plane_codes(target_longs, L)
     guide_oh, n_active, _ = guide_onehot_matrix(guide_longs, pack, pad_to=G)
     guide_oh = guide_oh[:G]
     n_active = n_active[:G]
 
     step = make_sharded_scan_step(mesh, L, 4)
-    lo_d = jax.device_put(lo, NamedSharding(mesh, P("db")))
-    hi_d = jax.device_put(hi, NamedSharding(mesh, P("db")))
+    codes_d = jax.device_put(code_planes, NamedSharding(mesh, P(None, "db")))
     goh_d = jax.device_put(guide_oh, NamedSharding(mesh, P("guides", None)))
     na_d = jax.device_put(n_active, NamedSharding(mesh, P("guides")))
-    hit_any, total = step(lo_d, hi_d, goh_d, na_d)
+    hit_any, total = step(codes_d, goh_d, na_d)
     return np.asarray(hit_any), int(total)
