@@ -177,6 +177,11 @@ def discover(db: Database, guide_sites: DiscoveredSites,
     t0 = time.time()
     if backend == "numpy" or (backend == "auto" and not _tpu_available()):
         hit_iter = _scan_numpy(db, guide_longs, max_mismatch, stats, bmask)
+    elif _device_count() > 1:
+        # multi-chip: database sharded over the mesh's "db" axis, guide batch
+        # data-parallel over "guides" (flashfry_tpu/parallel/mesh.py)
+        from .parallel.mesh import ShardedScanner
+        hit_iter = ShardedScanner(db).scan(guide_longs, max_mismatch, bmask, stats)
     else:
         from .ops.scan import scan_database_jax
         hit_iter = scan_database_jax(db, guide_longs, max_mismatch, stats, bmask)
@@ -191,6 +196,16 @@ def _tpu_available() -> bool:
         return default_platform() != "cpu"
     except Exception:
         return False
+
+
+def _device_count() -> int:
+    """Devices on the platform jax will actually place arrays on."""
+    try:
+        import jax
+        from .ops.scan import default_platform
+        return len(jax.devices(default_platform()))
+    except Exception:
+        return 1
 
 
 def brute_force_hits(db: Database, guide_long: int, max_mismatch: int):

@@ -161,11 +161,12 @@ def _packed_nonzero(mask, size: int):
     return jnp.minimum(idx, mask.shape[0] - 1).astype(jnp.int32), n
 
 
-@functools.lru_cache(maxsize=16)
-def _fused_scan_jit(L: int, n_act: int, max_mm: int, chunk: int, g_rows: int,
+def make_fused_scan(L: int, n_act: int, max_mm: int, chunk: int, g_rows: int,
                     n_chunks: int, col_cap: int, trip_cap: int,
                     use_pallas: bool):
-    """Whole-database scan in ONE device dispatch.
+    """Whole-database scan in ONE device dispatch (untraced; see
+    _fused_scan_jit for the jitted single-device form and
+    parallel.mesh.ShardedScanner for the shard_map multi-chip form).
 
     A lax.fori_loop walks every chunk: stage-1 hit detection (Pallas kernel /
     jnp), on-device column compaction, exact mismatch recount for the hit
@@ -248,7 +249,25 @@ def _fused_scan_jit(L: int, n_act: int, max_mm: int, chunk: int, g_rows: int,
         buf = buf.at[0, width - 1].set(overflow.astype(jnp.int32))
         return buf
 
-    return jax.jit(f)
+    return f
+
+
+@functools.lru_cache(maxsize=16)
+def _fused_scan_jit(L: int, n_act: int, max_mm: int, chunk: int, g_rows: int,
+                    n_chunks: int, col_cap: int, trip_cap: int,
+                    use_pallas: bool):
+    import jax
+    return jax.jit(make_fused_scan(L, n_act, max_mm, chunk, g_rows, n_chunks,
+                                   col_cap, trip_cap, use_pallas))
+
+
+def parse_trip_buffer(buf: np.ndarray):
+    """Decode a fused-scan triplet buffer -> (t_idx, g_idx, mm, count, overflow)."""
+    count = int(buf[0, -2])
+    overflow = bool(buf[0, -1])
+    packed = buf[1, :count]
+    return (buf[0, :count].astype(np.int64), (packed >> 8).astype(np.int64),
+            (packed & 0xFF).astype(np.int8), count, overflow)
 
 
 DEFAULT_CHUNK = 1 << 23
@@ -334,14 +353,10 @@ class DeviceScanner:
                                     col_cap, trip_cap, self.use_pallas)
             buf = np.asarray(fused(self.codes, guide_oh_d, n_active_d,
                                    np.int32(self.n)))  # ONE fetch
-            count = int(buf[0, -2])
-            overflow = bool(buf[0, -1])
+            t_idx, g_idx, mm, count, overflow = parse_trip_buffer(buf)
             if not overflow and count <= trip_cap:
                 if count:
-                    packed = buf[1, :count]
-                    yield (buf[0, :count].astype(np.int64),
-                           (packed >> 8).astype(np.int64),
-                           (packed & 0xFF).astype(np.int8))
+                    yield t_idx, g_idx, mm
                 return
             col_cap *= 4
             trip_cap *= 4

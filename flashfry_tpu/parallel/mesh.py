@@ -90,6 +90,160 @@ def make_sharded_scan_step(mesh, L: int, max_mm: int):
     return jax.jit(step)
 
 
+class ShardedScanner:
+    """Multi-chip discover: the fused compaction scan, sharded over a
+    (db, guides) mesh with shard_map.
+
+    Each device owns a contiguous slab of the plane-major code database
+    ("db" axis, model-parallel HBM sharding) and a sub-block of the guide
+    batch ("guides" axis, data-parallel). Every device runs the same fused
+    chunk loop as the single-chip DeviceScanner (ops/scan.py) over its
+    (slab, guide sub-block) tile and compacts its hits into a fixed triplet
+    buffer; the buffers are returned stacked (D, Gx, 2, width) and merged on
+    host. Because db shards are ascending contiguous ranges and each shard's
+    triplets are target-major, concatenating shards in order reproduces the
+    global target-major order FlashFry applies hits in
+    (reference/traverser/SeekTraverser.scala:58-104).
+
+    Interface-compatible with DeviceScanner.scan; used when the runtime has
+    more than one accelerator and by __graft_entry__.dryrun_multichip on a
+    virtual CPU mesh.
+    """
+
+    def __init__(self, db, mesh=None, use_pallas: Optional[bool] = None,
+                 chunk: Optional[int] = None, cap: int = 1 << 12,
+                 trip_cap: int = 1 << 15):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..ops.scan import (DEFAULT_CHUNK, enable_compilation_cache,
+                                default_platform, plane_codes)
+        from ..ops.scan_kernel import T_TILE
+        enable_compilation_cache()
+        self.db = db
+        self.L = db.pack.total_scan_length
+        self.n_act = len(db.pack.comparison_mask_positions())
+        if mesh is None:
+            devs = jax.devices(default_platform())
+            mesh = make_mesh(len(devs))
+        self.mesh = mesh
+        self.D = mesh.shape["db"]
+        self.Gx = mesh.shape["guides"]
+        if use_pallas is None:
+            use_pallas = default_platform() == "tpu"
+        self.use_pallas = use_pallas
+        n = db.num_targets
+        self.n = n
+        per_shard = -(-max(n, 1) // self.D)
+        if chunk is None:
+            chunk = min(DEFAULT_CHUNK if use_pallas else (1 << 20),
+                        -(-per_shard // T_TILE) * T_TILE)
+        if use_pallas and chunk % T_TILE:
+            chunk = max(T_TILE, (chunk // T_TILE) * T_TILE)
+        self.chunk = chunk
+        self.cap = cap
+        self.trip_cap = trip_cap
+        self.shard_n = -(-per_shard // chunk) * chunk   # targets per shard (padded)
+        n_pad = self.shard_n * self.D
+        codes = plane_codes(db.targets, self.L, n_pad)
+        self.codes = jax.device_put(codes, NamedSharding(mesh, P(None, "db")))
+
+    def _step(self, max_mismatch: int, g_rows: int, col_cap: int, trip_cap: int):
+        import jax
+        import jax.numpy as jnp
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        from ..ops.scan import make_fused_scan
+
+        local = make_fused_scan(self.L, self.n_act, max_mismatch, self.chunk,
+                                g_rows // self.Gx, self.shard_n // self.chunk,
+                                col_cap, trip_cap, self.use_pallas)
+        shard_n = self.shard_n
+        D = self.D
+
+        def wrapped(codes_local, guide_oh_local, n_active_local, n_targets):
+            # this shard owns global targets [s*shard_n, (s+1)*shard_n)
+            s = jax.lax.axis_index("db")
+            local_valid = jnp.clip(n_targets - s * shard_n, 0, shard_n)
+            buf = local(codes_local, guide_oh_local, n_active_local, local_valid)
+            return buf[None, None]
+
+        step = shard_map(
+            wrapped, mesh=self.mesh,
+            in_specs=(P(None, "db"), P("guides", None), P("guides"), P()),
+            out_specs=P("db", "guides", None, None),
+            check_vma=False,
+        )
+        return jax.jit(step)
+
+    def scan(self, guide_longs: np.ndarray, max_mismatch: int,
+             bin_mask=None, stats=None):
+        """Yield (target_idx, guide_idx, mm) in global target-major order per
+        guide (DeviceScanner.scan interface)."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..ops.scan import guide_onehot_matrix, parse_trip_buffer
+
+        g_all = np.asarray(guide_longs, dtype=np.uint64)
+        n_guides = g_all.shape[0]
+        block = 128 * self.Gx
+        while block < n_guides and block < 1024 * self.Gx:
+            block *= 2
+        for g_lo in range(0, max(n_guides, 1), block):
+            g_hi = min(n_guides, g_lo + block)
+            for t_idx, g_idx, mm in self._scan_guide_block(
+                    g_all[g_lo:g_hi], max_mismatch, stats, block):
+                yield t_idx, g_idx + g_lo, mm
+
+    def _scan_guide_block(self, guide_longs, max_mismatch, stats, pad_to):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..ops.scan import guide_onehot_matrix, parse_trip_buffer, MAX_RETRIES
+
+        guide_oh, n_active, G = guide_onehot_matrix(guide_longs, self.db.pack,
+                                                    pad_to=pad_to)
+        g_rows = guide_oh.shape[0]
+        g_local = g_rows // self.Gx
+        if stats is not None and G:
+            stats.all_targets += self.n
+            stats.dense_comparisons += self.n * G
+            stats.all_comparisons += self.n * G
+        goh_d = jax.device_put(guide_oh, NamedSharding(self.mesh, P("guides", None)))
+        na_d = jax.device_put(n_active, NamedSharding(self.mesh, P("guides")))
+
+        col_cap, trip_cap = self.cap, self.trip_cap
+        for _attempt in range(1 + MAX_RETRIES):
+            step = self._step(max_mismatch, g_rows, col_cap, trip_cap)
+            out = np.asarray(step(self.codes, goh_d, na_d, np.int32(self.n)))
+            parsed = [[parse_trip_buffer(out[s, q]) for q in range(self.Gx)]
+                      for s in range(self.D)]
+            if any(p[4] or p[3] > trip_cap for row in parsed for p in row):
+                col_cap *= 4
+                trip_cap *= 4
+                continue
+            # merge: db shards in ascending order preserve global target order;
+            # within a target, guide sub-blocks ascend
+            per_guide_chunks = []
+            for s in range(self.D):
+                base_t = s * self.shard_n
+                for q in range(self.Gx):
+                    t_idx, g_idx, mm, count, _ = parsed[s][q]
+                    if count:
+                        per_guide_chunks.append((t_idx + base_t,
+                                                 g_idx + q * g_local, mm))
+            yield from iter(per_guide_chunks)
+            return
+        # exact host fallback
+        from ..bitcoding import BitEncoding
+        enc = BitEncoding(self.db.pack)
+        g = np.asarray(guide_longs, dtype=np.uint64)
+        for lo in range(0, self.n, 1 << 20):
+            hi = min(self.n, lo + (1 << 20))
+            mm = enc.mismatches_cross(self.db.targets[lo:hi], g)
+            t_idx, g_idx = np.nonzero(mm <= max_mismatch)
+            if t_idx.size:
+                yield t_idx + lo, g_idx, mm[t_idx, g_idx].astype(np.int8)
+
+
 def sharded_scan_demo(n_devices: int, targets_per_device: int = 1024,
                       guides_per_device: int = 8) -> Tuple[np.ndarray, int]:
     """One full sharded step on synthetic data; returns (hit_any, total)."""

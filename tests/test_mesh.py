@@ -1,0 +1,91 @@
+"""Multi-chip sharded scan (virtual 8-device CPU mesh) must match the host
+oracle and the single-device scanner exactly."""
+
+import numpy as np
+import pytest
+
+from flashfry_tpu.bitcoding import BitEncoding
+from flashfry_tpu.database import build_database_from_sites
+from flashfry_tpu.discovery import find_target_sites
+from flashfry_tpu.engine import discover
+from flashfry_tpu.parallel.mesh import ShardedScanner, make_mesh, sharded_scan_demo
+from flashfry_tpu.standards import Cas9NGGParameterPack, Cpf1ParameterPack
+
+
+def _db(pack, n=120_000, seed=11):
+    rng = np.random.default_rng(seed)
+    genome = "".join("ACGT"[c] for c in rng.integers(0, 4, size=n))
+    sites = find_target_sites(iter([("chrM", genome)]), pack)
+    return build_database_from_sites(sites, 7), genome
+
+
+def _oracle(db, guide_longs, max_mm):
+    enc = BitEncoding(db.pack)
+    mm = enc.mismatches_cross(db.targets, np.asarray(guide_longs, np.uint64))
+    t, g = np.nonzero(mm <= max_mm)
+    return sorted(zip(t.tolist(), g.tolist(), mm[t, g].astype(int).tolist()))
+
+
+@pytest.mark.parametrize("pack", [Cas9NGGParameterPack, Cpf1ParameterPack])
+@pytest.mark.parametrize("n_devices", [4, 8])
+def test_sharded_scanner_matches_oracle(pack, n_devices):
+    db, _ = _db(pack)
+    rng = np.random.default_rng(7)
+    guides = db.targets[rng.choice(db.num_targets, size=20, replace=False)]
+    mesh = make_mesh(n_devices)
+    scanner = ShardedScanner(db, mesh=mesh, use_pallas=False, chunk=1 << 12)
+    got = sorted((int(t), int(g), int(m))
+                 for ts, gs, ms in scanner.scan(guides, 4)
+                 for t, g, m in zip(ts, gs, ms))
+    assert got == _oracle(db, guides, 4)
+
+
+def test_sharded_scanner_global_target_order_per_guide():
+    """Hits for each guide must arrive in ascending global target order —
+    the ordering the overflow-cap semantics depend on."""
+    db, _ = _db(Cas9NGGParameterPack, seed=13)
+    rng = np.random.default_rng(9)
+    guides = db.targets[rng.choice(db.num_targets, size=8, replace=False)]
+    scanner = ShardedScanner(db, mesh=make_mesh(8), use_pallas=False, chunk=1 << 12)
+    seen = {}
+    for ts, gs, ms in scanner.scan(guides, 4):
+        for t, g in zip(ts.tolist(), gs.tolist()):
+            seen.setdefault(g, []).append(t)
+    for g, t_list in seen.items():
+        assert t_list == sorted(t_list), "guide %d hits out of order" % g
+
+
+def test_sharded_overflow_retry_exact():
+    db, _ = _db(Cas9NGGParameterPack, seed=17)
+    rng = np.random.default_rng(23)
+    guides = db.targets[rng.choice(db.num_targets, size=16, replace=False)]
+    tiny = ShardedScanner(db, mesh=make_mesh(8), use_pallas=False,
+                          chunk=1 << 12, cap=2, trip_cap=4)
+    got = sorted((int(t), int(g), int(m))
+                 for ts, gs, ms in tiny.scan(guides, 4)
+                 for t, g, m in zip(ts, gs, ms))
+    assert got == _oracle(db, guides, 4)
+
+
+def test_discover_sharded_backend_byte_equal():
+    """discover(backend='jax') on the 8-CPU mesh (ShardedScanner path) must
+    equal the numpy backend guide-for-guide."""
+    db, genome = _db(Cas9NGGParameterPack, seed=29)
+    gsites = find_target_sites(iter([("g", genome[5000:6200])]),
+                               Cas9NGGParameterPack,
+                               flanking_sequence=6, capture_context=True)
+    if len(gsites) == 0:
+        pytest.skip("no guides")
+    a = discover(db, gsites, max_mismatch=4, backend="numpy")
+    b = discover(db, gsites, max_mismatch=4, backend="jax")
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        assert x.bases == y.bases
+        assert [ot.sequence for ot in x.off_targets] == [ot.sequence for ot in y.off_targets]
+        assert [list(ot.coordinates) for ot in x.off_targets] == [list(ot.coordinates) for ot in y.off_targets]
+        assert x.full == y.full
+
+
+def test_demo_collective_step():
+    hit_any, total = sharded_scan_demo(8, targets_per_device=256, guides_per_device=4)
+    assert total >= 1
