@@ -28,7 +28,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 CACHE = "/tmp/flashfry_tpu_bench"
-GENOME_MB = int(os.environ.get("BENCH_GENOME_MB", "100"))
+GENOME_MB = int(os.environ.get("BENCH_GENOME_MB", "400"))
 N_GUIDES = int(os.environ.get("BENCH_GUIDES", "1000"))
 MAX_MM = 4
 FLASHFRY_BASELINE_CMP_PER_S = 2.0e8
