@@ -22,6 +22,9 @@ def _add_index(sub):
                    help="unused (kept for CLI parity with the reference)")
     p.add_argument("--enzyme", "-enzyme", default="spCas9ngg")
     p.add_argument("--binSize", "-binSize", type=int, default=7)
+    p.add_argument("--format", default="native", choices=["native", "flashfry"],
+                   help="on-disk format: columnar npz (default) or the "
+                        "reference's BGZF block format")
     return p
 
 
@@ -106,7 +109,11 @@ def cmd_index(args) -> None:
     logger.info("Discovering target sites in the input genome file...")
     db = build_database(args.reference, pack, bin_width=args.binSize)
     logger.info("Creating the final database file (%d targets)...", db.num_targets)
-    save_database(db, args.database)
+    if args.format == "flashfry":
+        from .ffformat import export_flashfry_database
+        export_flashfry_database(db, args.database)
+    else:
+        save_database(db, args.database)
 
 
 def cmd_discover(args) -> None:

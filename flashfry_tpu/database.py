@@ -266,6 +266,13 @@ def write_text_header(db: Database, header_path: str) -> None:
 
 
 def load_database(path: str) -> Database:
+    # auto-detect a reference-format (BGZF) database: FlashFry users can
+    # point discover/score/extract at their existing files unchanged
+    with open(path, "rb") as fh:
+        magic = fh.read(2)
+    if magic == b"\x1f\x8b":
+        from .ffformat import import_flashfry_database
+        return import_flashfry_database(path)
     arrays = _memmap_npz_members(path)
     if arrays is None:  # compressed / legacy file
         with np.load(path, allow_pickle=False) as data:
