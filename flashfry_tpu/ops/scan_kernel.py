@@ -46,8 +46,9 @@ def _stage1_kernel(thr: int, code_ref, guide_ref, out_ref):
     b = jax.lax.broadcasted_iota(jnp.int32, (OH_ROWS, 1), 0) & 3
     t_oh = (rep == b).astype(jnp.int8)               # rows >= 4L are 4..7 vs 0..3: never equal
     matches = jnp.dot(guide_ref[:], t_oh, preferred_element_type=jnp.int32)  # (G, T)
-    hit = (matches >= thr).astype(jnp.int32)
-    out_ref[:] = jnp.max(hit, axis=0, keepdims=True).astype(jnp.int8)
+    # scalar threshold: any(mm <= k) == max_g(matches) >= |active| - k, which
+    # saves a whole (G, T) compare pass vs thresholding before reducing
+    out_ref[:] = (jnp.max(matches, axis=0, keepdims=True) >= thr).astype(jnp.int8)
 
 
 @functools.lru_cache(maxsize=8)
