@@ -23,28 +23,40 @@ class SchulzeRank:
     """
 
     def __init__(self, votes: Sequence[Tuple[Sequence[int], object]]):
+        import numpy as np
         n = len(votes)
         self.guide_count = n
-        prefs = [[0] * n for _ in range(n)]
+        # prefs[i][j] = sum_t(votes[i][t] - votes[j][t]) zipped over the
+        # SHORTER of the two vectors (Scala zip truncates —
+        # SchizeRank.scala prefs construction), so use prefix sums up to
+        # m = min(len_i, len_j): prefs[i][j] = P_i[m] - P_j[m]
+        lens = np.array([len(v[0]) for v in votes], dtype=np.int64)
+        maxlen = int(lens.max()) if n else 0
+        pref = np.zeros((n, maxlen + 1), dtype=np.int64)
+        for idx, v in enumerate(votes):
+            pref[idx, 1:lens[idx] + 1] = np.cumsum(np.asarray(v[0], dtype=np.int64))
+        m = np.minimum(lens[:, None], lens[None, :])
+        rows = np.arange(n)
+        prefs = pref[rows[:, None], m] - pref[rows[None, :], m]
+        output = np.where(prefs > prefs.T, prefs, 0)
+        np.fill_diagonal(output, 0)
+        # Schulze widest path, vectorized Floyd-Warshall over intermediate i.
+        # Within one i-iteration the reference's sequential inner loops never
+        # touch column i or row i (k==i and j==i are excluded), so the
+        # simultaneous numpy update is exactly equivalent.
         for i in range(n):
-            for j in range(n):
-                prefs[i][j] = sum(iv - jv for iv, jv in zip(votes[i][0], votes[j][0]))
-        output = [[0] * n for _ in range(n)]
-        for i in range(n):
-            for j in range(n):
-                if i != j:
-                    output[i][j] = prefs[i][j] if prefs[i][j] > prefs[j][i] else 0
-        for i in range(n):
-            for j in range(n):
-                if i != j:
-                    for k in range(n):
-                        if i != k and j != k:
-                            output[j][k] = max(output[j][k], min(output[j][i], output[i][k]))
-        row_sums = [sum(output[i]) for i in range(n)]
+            cand = np.minimum(output[:, i][:, None], output[i, :][None, :])
+            new = np.maximum(output, cand)
+            new[i, :] = output[i, :]
+            new[:, i] = output[:, i]
+            np.fill_diagonal(new, np.diagonal(output))  # j == k excluded
+            output = new
+        row_sums = output.sum(axis=1)
         # stable descending sort by score (Scala sortWith is stable)
-        order = sorted(range(n), key=lambda i: -row_sums[i])
+        order = np.argsort(-row_sums, kind="stable")
         # index_to_rns[k] = (original_index, score, rank=k) for the k-th best
-        self.index_to_rns = {k: {"index": order[k], "score": row_sums[order[k]], "rank": k}
+        self.index_to_rns = {k: {"index": int(order[k]),
+                                 "score": int(row_sums[order[k]]), "rank": k}
                              for k in range(n)}
 
 
