@@ -1,8 +1,9 @@
 """Microbenchmark the scan pipeline stages on the real TPU.
 
-Isolates: stage-1 pallas kernel alone, the jnp unpack+matmul alternative,
-the compaction (_packed_nonzero) cost, and the full fused loop — so we know
-where the 0.63 s/scan goes and what to optimize.
+Isolates: stage-1 pallas kernel alone (amortized inside one dispatch — every
+device->host fetch costs ~100 ms of tunnel latency, and block_until_ready is
+a no-op on the axon platform), the compaction (_packed_nonzero), and the
+fused whole-database loop.
 """
 import os
 import sys
@@ -14,73 +15,71 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from flashfry_tpu.bitcoding import BitEncoding
 from flashfry_tpu.ops import scan as S
 from flashfry_tpu.ops.scan_kernel import stage1_pallas
 from flashfry_tpu.standards import Cas9NGGParameterPack
 
 
-def _force(r):
-    # block_until_ready is a no-op on the remote axon platform; force a
-    # real device->host fetch of one element of every output
-    leaves = jax.tree_util.tree_leaves(r)
-    return [np.asarray(x.ravel()[0]) if hasattr(x, "ravel") else x for x in leaves]
-
-
-def timeit(f, *args, iters=5, warmup=1):
-    for _ in range(warmup):
-        _force(f(*args))
+def bench_loop(name, fn, first_arg, rest, work, K=16):
+    """Time fn(first_arg ^ i, *rest) K times inside ONE dispatch (varying the
+    input each iteration so XLA can't hoist the body out of the loop)."""
+    @jax.jit
+    def f(a0, *r):
+        def body(i, acc):
+            return acc + fn(a0 ^ i.astype(a0.dtype), *r).sum().astype(jnp.int32)
+        return jax.lax.fori_loop(0, K, body, jnp.int32(0))
     t0 = time.time()
+    np.asarray(f(first_arg, *rest))  # compile + first run
+    tc = time.time() - t0
+    t0 = time.time()
+    iters = 3
     for _ in range(iters):
-        _force(f(*args))
-    return (time.time() - t0) / iters
+        np.asarray(f(first_arg, *rest))
+    dt = (time.time() - t0) / iters / K
+    print("%-28s %.4fs/chunk  %.3g cmp/s  (compile+run %.1fs)"
+          % (name, dt, work / dt, tc))
 
 
 def main():
     pack = Cas9NGGParameterPack
     L = pack.total_scan_length
+    n_act = len(pack.comparison_mask_positions())
     rng = np.random.default_rng(0)
     chunk = 1 << 23
     G = 1024
-    lo = jnp.asarray(rng.integers(0, 2**31, size=chunk, dtype=np.int64).astype(np.int32))
-    hi = jnp.asarray(rng.integers(0, 2**14, size=chunk, dtype=np.int64).astype(np.int32))
-    codes = rng.integers(0, 4, size=(G, L))
-    seqs = ["".join("ACGT"[c] for c in row) for row in codes]
-    from flashfry_tpu.bitcoding import BitEncoding
+    codes_g = rng.integers(0, 4, size=(G, L))
+    seqs = ["".join("ACGT"[c] for c in row) for row in codes_g]
     enc = BitEncoding(pack)
     longs = enc.encode_batch(seqs)
-    guide_oh, n_active, _ = guide_stuff = S.guide_onehot_matrix(longs, pack, pad_to=G)
-    guide_oh_d = jax.device_put(guide_oh)
-    n_active_d = jax.device_put(n_active)
+    guide_oh, n_active, _ = S.guide_onehot_matrix(longs, pack, pad_to=G)
 
-    cmp_per_call = chunk * G
+    targets = rng.integers(0, 2 ** 46, size=chunk, dtype=np.uint64)
+    codes = jnp.asarray(S.plane_codes(targets, L))
+    guide_i8 = jnp.zeros((G, 128), jnp.int8).at[:, :4 * L].set(
+        jnp.asarray(guide_oh, jnp.int8))
 
-    # 1. stage1 pallas alone
-    k = stage1_pallas(L, 4, chunk, G)
-    t0 = time.time()
-    dt = timeit(k, lo, hi, guide_oh_d, n_active_d)
-    print("stage1 pallas:  %.4fs  -> %.3g cmp/s  (compile+5 iters total %.1fs)"
-          % (dt, cmp_per_call / dt, time.time() - t0))
+    inner = stage1_pallas(n_act, 4, chunk, G)
+    bench_loop("stage1 pallas", inner, codes, (guide_i8,), chunk * G)
 
-    # 2. compaction alone: cumsum+searchsorted over chunk
     @jax.jit
-    def compact(mask):
-        return S._packed_nonzero(mask, 1 << 14)
-    mask = jnp.zeros(chunk, bool).at[::1000].set(True)
-    dt = timeit(compact, mask)
-    print("packed_nonzero: %.4fs over %d elems" % (dt, chunk))
+    def compact(m):
+        idx, n = S._packed_nonzero(m.reshape(-1) > 0, 1 << 12)
+        return idx[:1] + n
+    mask = jnp.zeros((1, chunk), jnp.int8).at[0, ::1000].set(1)
+    bench_loop("packed_nonzero(8M)", compact, mask, (), chunk)
 
-    # 3. fused loop (2 chunks = 16M targets)
-    n_chunks = 2
-    n_total = n_chunks * chunk
-    lo_full = jnp.concatenate([lo, lo])
-    hi_full = jnp.concatenate([hi, hi])
-    fused = S._fused_scan_jit(L, 4, chunk, G, n_chunks, S.DEFAULT_CAP,
+    fused = S.make_fused_scan(L, n_act, 4, chunk, G, 2, S.DEFAULT_CAP,
                               S.TRIPLET_CAP, True)
-    t0 = time.time()
-    dt = timeit(fused, lo_full, hi_full, guide_oh_d, n_active_d,
-                np.int32(n_total), iters=3)
-    print("fused 2-chunk:  %.4fs  -> %.3g cmp/s  (compile+3 iters total %.1fs)"
-        % (dt, n_total * G / dt, time.time() - t0))
+    codes2 = jnp.concatenate([codes, codes], axis=1)
+    goh = jnp.asarray(guide_oh)
+    na = jnp.asarray(n_active)
+
+    @jax.jit
+    def fused_once(c, g, n_a):
+        return fused(c, g, n_a, jnp.int32(2 * chunk))[0, -2]
+    bench_loop("fused 2-chunk", lambda c, g, n_a: fused_once(c, g, n_a),
+               codes2, (goh, na), 2 * chunk * G, K=4)
 
 
 if __name__ == "__main__":
