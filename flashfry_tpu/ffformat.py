@@ -77,7 +77,8 @@ class BgzfWriter:
         payload = bytes(payload)
         co = zlib.compressobj(6, zlib.DEFLATED, -15)
         cdata = co.compress(payload) + co.flush()
-        bsize = len(cdata) + 25 + 1  # header(12) + XLEN(6) + crc/isize(8) - 1
+        # BSIZE = total block length - 1: 18-byte header + cdata + crc/isize(8)
+        bsize = len(cdata) + 25
         header = (b"\x1f\x8b\x08\x04" + b"\x00" * 6 +
                   b"\x06\x00BC\x02\x00" + struct.pack("<H", bsize))
         block = (header + cdata +
@@ -176,9 +177,10 @@ def encode_block_longs(targets: np.ndarray, pos_offsets: np.ndarray,
     sizes = np.zeros(4 ** INTERIOR_BIN_WIDTH, dtype=np.int64)
     np.add.at(sizes, sub, counts + 1)
     first = np.full(4 ** INTERIOR_BIN_WIDTH, -1, dtype=np.int64)
-    # targets are sequence-sorted within the bin, so sub-bins are contiguous
-    for i in range(n - 1, -1, -1):
-        first[sub[i]] = t_slots[i]
+    # targets are sequence-sorted within the bin, so each sub-bin's first
+    # occurrence is its minimum slot
+    uniq, first_idx = np.unique(sub, return_index=True)
+    first[uniq] = t_slots[first_idx]
     # empty sub-bins keep offset -1, size 0, exactly like the reference's
     # LinkedHashMap initialization (binLookup(bin) = -1)
     lookup = (first.astype(np.int64) << 32 | sizes).view(np.uint64)

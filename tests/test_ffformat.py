@@ -124,6 +124,26 @@ def test_discover_on_imported_db_matches(tmp_path):
             [list(ot.coordinates) for ot in y.off_targets]
 
 
+def test_bgzf_bsize_fields_tile_the_file(tmp_path):
+    """Each member's BSIZE extra field must equal its true length - 1 (the
+    htsjdk contract our reader doesn't rely on, so check it explicitly)."""
+    import struct
+    db, _ = _random_db(Cas9NGGParameterPack, 20_000, 2, seed=47)
+    path = str(tmp_path / "ffdb")
+    export_flashfry_database(db, path)
+    data = open(path, "rb").read()
+    pos = 0
+    n_blocks = 0
+    while pos < len(data):
+        assert data[pos:pos + 4] == b"\x1f\x8b\x08\x04"
+        assert data[pos + 12:pos + 16] == b"BC\x02\x00"
+        bsize = struct.unpack("<H", data[pos + 16:pos + 18])[0]
+        pos += bsize + 1
+        n_blocks += 1
+    assert pos == len(data)
+    assert n_blocks >= 2  # payload block(s) + EOF marker
+
+
 def test_bgzf_stream_is_standard_gzip(tmp_path):
     """The exported stream must be readable by plain gzip tooling (BGZF is a
     gzip-compatible profile)."""
