@@ -1,0 +1,57 @@
+"""Full index -> discover -> score pipeline with pinned golden md5s.
+
+Mirrors the reference's test_data/integration_test.sh:77-87 (which pins md5s
+of EMX1.output and its scored variants on chr22 — that tarball is stripped
+from this image, so we pin our own pipeline's outputs on the checked-in myc
+fixture instead). Any unintended change to site discovery, the scan, overflow
+accounting, scoring or the TSV format shows up as an md5 mismatch here.
+"""
+
+import hashlib
+import os
+import subprocess
+import sys
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+MYC = "/root/reference/test_data/myc.fasta"
+GUIDES = os.path.join(ROOT, "tests", "data", "myc_guides.fasta")
+
+GOLDEN = {
+    "g.out": "74308849221105d1de705bcb27a6dad0",
+    "g.pos.out": "05926a0988c1b4e301ba9b8a94be9032",
+    "g.scored": "999611d1d181e54c8e401e2fe33865de",
+    "g.scored_ots": "c0cc916f589654303d2e277f29fbd357",
+}
+
+
+def run(args):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ROOT
+    subprocess.run([sys.executable, "-m", "flashfry_tpu"] + args,
+                   check=True, env=env, capture_output=True)
+
+
+def md5(path):
+    return hashlib.md5(open(path, "rb").read()).hexdigest()
+
+
+@pytest.mark.skipif(not os.path.exists(MYC), reason="reference fixture missing")
+def test_full_pipeline_golden_md5(tmp_path):
+    w = str(tmp_path)
+    run(["index", "--reference", MYC, "--database", w + "/db",
+         "--enzyme", "spcas9"])
+    run(["discover", "--fasta", GUIDES, "--database", w + "/db",
+         "--output", w + "/g.out", "--backend", "numpy"])
+    run(["discover", "--fasta", GUIDES, "--database", w + "/db",
+         "--output", w + "/g.pos.out", "--positionOutput", "--backend", "numpy"])
+    run(["score", "--input", w + "/g.pos.out", "--output", w + "/g.scored",
+         "--scoringMetrics",
+         "doench2014ontarget,doench2016cfd,dangerous,hsu2013,minot",
+         "--database", w + "/db"])
+    run(["score", "--input", w + "/g.pos.out", "--output", w + "/g.scored_ots",
+         "--scoringMetrics", "doench2016cfd", "--includeOTs",
+         "--database", w + "/db"])
+    for name, expect in GOLDEN.items():
+        assert md5(os.path.join(w, name)) == expect, "%s changed" % name
