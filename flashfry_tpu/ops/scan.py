@@ -216,7 +216,7 @@ def make_fused_scan(L: int, n_act: int, max_mm: int, chunk: int, g_rows: int,
         guide_i8 = guide_i8.at[:, :4 * L].set(guide_oh.astype(jnp.int8))
 
         def body(c, carry):
-            count, overflow, buf = carry
+            count, col_of, trip_of, buf = carry
             start = c * chunk
             codes_chunk = jax.lax.dynamic_slice_in_dim(codes_full, start,
                                                        chunk, axis=1)
@@ -239,14 +239,16 @@ def make_fused_scan(L: int, n_act: int, max_mm: int, chunk: int, g_rows: int,
             safe = jnp.minimum(count, trip_cap)
             buf = jax.lax.dynamic_update_slice(buf, block, (0, safe))
             count = count + k
-            overflow = overflow | (n_cols > col_cap) | (k > block_cap) | (count > trip_cap)
-            return count, overflow, buf
+            col_of = col_of | (n_cols > col_cap) | (k > block_cap)
+            trip_of = trip_of | (k > block_cap) | (count > trip_cap)
+            return count, col_of, trip_of, buf
 
-        carry = (jnp.int32(0), jnp.bool_(False),
+        carry = (jnp.int32(0), jnp.bool_(False), jnp.bool_(False),
                  jnp.zeros((2, width), jnp.int32))
-        count, overflow, buf = jax.lax.fori_loop(0, n_chunks, body, carry)
+        count, col_of, trip_of, buf = jax.lax.fori_loop(0, n_chunks, body, carry)
         buf = buf.at[0, width - 2].set(count)
-        buf = buf.at[0, width - 1].set(overflow.astype(jnp.int32))
+        buf = buf.at[0, width - 1].set(col_of.astype(jnp.int32)
+                                       | (trip_of.astype(jnp.int32) << 1))
         return buf
 
     return f
@@ -262,11 +264,14 @@ def _fused_scan_jit(L: int, n_act: int, max_mm: int, chunk: int, g_rows: int,
 
 
 def parse_trip_buffer(buf: np.ndarray):
-    """Decode a fused-scan triplet buffer -> (t_idx, g_idx, mm, count, overflow)."""
+    """Decode a fused-scan triplet buffer -> (t_idx, g_idx, mm, count,
+    overflow). overflow is a bitmask: 1 = per-chunk column cap tripped,
+    2 = total triplet cap tripped."""
     count = int(buf[0, -2])
-    overflow = bool(buf[0, -1])
-    packed = buf[1, :count]
-    return (buf[0, :count].astype(np.int64), (packed >> 8).astype(np.int64),
+    overflow = int(buf[0, -1])
+    n = 0 if overflow else count
+    packed = buf[1, :n]
+    return (buf[0, :n].astype(np.int64), (packed >> 8).astype(np.int64),
             (packed & 0xFF).astype(np.int8), count, overflow)
 
 
@@ -346,20 +351,25 @@ class DeviceScanner:
         guide_oh_d = jax.device_put(guide_oh)
         n_active_d = jax.device_put(n_active)
 
-        col_cap, trip_cap = self.cap, self.trip_cap
         for _attempt in range(1 + MAX_RETRIES):
             fused = _fused_scan_jit(self.L, self.n_act, max_mismatch,
                                     self.chunk, guide_oh.shape[0], n_chunks,
-                                    col_cap, trip_cap, self.use_pallas)
+                                    self.cap, self.trip_cap, self.use_pallas)
             buf = np.asarray(fused(self.codes, guide_oh_d, n_active_d,
                                    np.int32(self.n)))  # ONE fetch
             t_idx, g_idx, mm, count, overflow = parse_trip_buffer(buf)
-            if not overflow and count <= trip_cap:
+            if not overflow and count <= self.trip_cap:
                 if count:
                     yield t_idx, g_idx, mm
                 return
-            col_cap *= 4
-            trip_cap *= 4
+            # escalate STICKILY — later guide blocks / repeat scans go
+            # straight to the size that worked — and selectively: growing the
+            # per-chunk column cap also grows every chunk's compaction domain,
+            # so only grow the cap that actually tripped
+            if overflow & 1:
+                self.cap *= 4
+            if (overflow & 2) or count > self.trip_cap:
+                self.trip_cap *= 4
         yield from self._host_scan(guide_longs, max_mismatch)
 
     def _host_scan(self, guide_longs, max_mismatch,

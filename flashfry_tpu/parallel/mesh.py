@@ -210,15 +210,20 @@ class ShardedScanner:
         goh_d = jax.device_put(guide_oh, NamedSharding(self.mesh, P("guides", None)))
         na_d = jax.device_put(n_active, NamedSharding(self.mesh, P("guides")))
 
-        col_cap, trip_cap = self.cap, self.trip_cap
         for _attempt in range(1 + MAX_RETRIES):
-            step = self._step(max_mismatch, g_rows, col_cap, trip_cap)
+            step = self._step(max_mismatch, g_rows, self.cap, self.trip_cap)
             out = np.asarray(step(self.codes, goh_d, na_d, np.int32(self.n)))
             parsed = [[parse_trip_buffer(out[s, q]) for q in range(self.Gx)]
                       for s in range(self.D)]
-            if any(p[4] or p[3] > trip_cap for row in parsed for p in row):
-                col_cap *= 4
-                trip_cap *= 4
+            col_of = any(p[4] & 1 for row in parsed for p in row)
+            trip_of = any((p[4] & 2) or p[3] > self.trip_cap
+                          for row in parsed for p in row)
+            if col_of or trip_of:
+                # sticky + selective escalation (see DeviceScanner)
+                if col_of:
+                    self.cap *= 4
+                if trip_of:
+                    self.trip_cap *= 4
                 continue
             # merge: db shards in ascending order preserve global target order;
             # within a target, guide sub-blocks ascend
