@@ -148,17 +148,43 @@ def codes_onehot_jnp(codes, L: int):
 def _packed_nonzero(mask, size: int):
     """Indices of the first `size` set bits of a 1-D bool array, packed.
 
-    Equivalent to jnp.nonzero(mask, size=size) but lowered as cumsum +
-    binary search (searchsorted) instead of an n-element scatter — scatters
-    serialize badly on TPU, turning compaction into the scan bottleneck.
+    Equivalent to jnp.nonzero(mask, size=size) but without the n-element
+    scatter (scatters serialize badly on TPU) and without a full-length
+    cumsum + searchsorted (log-pass cumsum over 8M elements costs ~3.4 ms
+    and the 23-step binary search another ~2.3 ms — measured v5e, the old
+    formulation). Two-level instead:
+
+      1. per-tile hit counts (one reduce pass) + a tiny cumsum over n/T tiles;
+      2. searchsorted over the TILE cumsum locates the tile of the k-th hit;
+      3. gather just the `size` relevant tiles and rank within each row with
+         a short lane-axis cumsum.
+
+    All passes touch O(n) bytes once plus O(size*T) for the ranking.
     Returns (idx int32[size] — entries beyond the true count clamp to n-1,
-    count int32)."""
+    count int32). Indices ascend; ties with the flat formulation are exact
+    (tests/test_scan_jax.py::test_packed_nonzero_*)."""
     import jax.numpy as jnp
-    cnt = jnp.cumsum(mask.astype(jnp.int32))
-    n = cnt[-1]
-    idx = jnp.searchsorted(cnt, jnp.arange(1, size + 1, dtype=jnp.int32),
-                           side="left")
-    return jnp.minimum(idx, mask.shape[0] - 1).astype(jnp.int32), n
+    n_el = mask.shape[0]
+    T = 512
+    if n_el % T or n_el <= 2 * T:
+        cnt = jnp.cumsum(mask.astype(jnp.int32))
+        idx = jnp.searchsorted(cnt, jnp.arange(1, size + 1, dtype=jnp.int32),
+                               side="left")
+        return jnp.minimum(idx, n_el - 1).astype(jnp.int32), cnt[-1]
+    nt = n_el // T
+    m2 = mask.reshape(nt, T)
+    tcnt = m2.sum(axis=1, dtype=jnp.int32)                    # (nt,)
+    tile_cum = jnp.cumsum(tcnt)                               # (nt,)
+    n = tile_cum[-1]
+    q = jnp.arange(1, size + 1, dtype=jnp.int32)              # k-th hit, 1-based
+    qt = jnp.searchsorted(tile_cum, q, side="left")           # its tile (first
+    qt = jnp.minimum(qt, nt - 1)                              #  cum >= k has tcnt>0)
+    r = q - (tile_cum[qt] - tcnt[qt])                         # rank within tile
+    rows = m2[qt].astype(jnp.int32)                           # (size, T) gather
+    lc = jnp.cumsum(rows, axis=1)
+    pos = jnp.sum(lc < r[:, None], axis=1)                    # first lc >= r
+    idx = qt * T + pos
+    return jnp.minimum(idx, n_el - 1).astype(jnp.int32), n
 
 
 def make_fused_scan(L: int, n_act: int, max_mm: int, chunk: int, g_rows: int,

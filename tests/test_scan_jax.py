@@ -144,3 +144,42 @@ def test_fused_overflow_falls_back_to_chunked():
              for t, g, m in zip(ts, gs, ms)]
     assert sorted(got_a) == sorted(got_b)
     assert len(got_a) > 8  # the cap really was exceeded
+
+
+def test_packed_nonzero_matches_nonzero():
+    """Two-level compaction (ops/scan._packed_nonzero) must agree exactly
+    with np.nonzero across densities, sizes and both code paths (tiled and
+    the small-array flat fallback)."""
+    import jax
+    import jax.numpy as jnp
+
+    from flashfry_tpu.ops.scan import _packed_nonzero
+
+    rng = np.random.default_rng(11)
+    cases = []
+    for n_el in (256, 512, 4096, 1 << 15, 1 << 17):
+        for density in (0, 1, 3, n_el // 100 + 2, n_el):
+            cases.append((n_el, min(density, n_el)))
+    for n_el, n_hits in cases:
+        mask = np.zeros(n_el, dtype=bool)
+        hits = np.sort(rng.choice(n_el, size=n_hits, replace=False))
+        mask[hits] = True
+        for size in (16, 4096):
+            idx, n = jax.jit(lambda m: _packed_nonzero(m, size))(jnp.asarray(mask))
+            idx, n = np.asarray(idx), int(n)
+            assert n == n_hits, (n_el, n_hits, size)
+            k = min(n, size)
+            assert np.array_equal(idx[:k], hits[:k]), (n_el, n_hits, size)
+
+
+def test_packed_nonzero_clamps_overflow_indices():
+    import jax.numpy as jnp
+
+    from flashfry_tpu.ops.scan import _packed_nonzero
+
+    mask = np.zeros(1 << 14, dtype=bool)
+    mask[5] = True
+    idx, n = _packed_nonzero(jnp.asarray(mask), 64)
+    assert int(n) == 1 and int(idx[0]) == 5
+    # beyond-count entries stay in-bounds (callers mask by count)
+    assert np.all(np.asarray(idx) < mask.shape[0])
