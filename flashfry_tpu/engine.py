@@ -33,7 +33,7 @@ from .bitcoding import BitEncoding, STRING_MASK
 from .database import Database
 from .discovery import DiscoveredSites
 from .positions import BitPosition
-from .targetio import GuideWithOffTargets, OffTargetHit
+from .targetio import GuideWithOffTargets
 from .utils import gc_content
 
 
@@ -109,16 +109,65 @@ def _scan_numpy(db: Database, guide_longs: np.ndarray, max_mismatch: int,
 
 def _collect_hits(db: Database, guides: List[GuideWithOffTargets],
                   hit_iter) -> None:
-    """Apply hits (in global target order) to guides with the reference's
-    overflow-cap rule: accept a hit iff current_total < cap before adding
-    (ResultsAggregator.updateOT -> CRISPRSiteOT.addOT)."""
+    """Apply hits to guides with the reference's overflow-cap rule: accept a
+    hit iff current_total < cap before adding (ResultsAggregator.updateOT ->
+    CRISPRSiteOT.addOT, crispr/CRISPRSiteOT.scala:41-46).
+
+    Fully vectorized: hits arrive in global target order per guide (each
+    guide lives in exactly one scan guide-block, and blocks stream their
+    triplets target-major), so a stable sort by guide index groups each
+    guide's hits in acceptance order; the cap is then an exclusive-cumsum
+    threshold over per-hit position counts, and the accepted coordinate
+    lists are one ragged gather from the database CSR arrays.
+    """
+    t_chunks, g_chunks = [], []
     for t_idx, g_idx, _mm in hit_iter:
-        for ti, gi in zip(t_idx.tolist(), g_idx.tolist()):
-            guide = guides[gi]
-            if guide.overflow_cap > 0 and guide.current_total >= guide.overflow_cap:
-                continue
-            p0, p1 = int(db.pos_offsets[ti]), int(db.pos_offsets[ti + 1])
-            guide.add_ot(OffTargetHit(int(db.targets[ti]), db.positions[p0:p1]))
+        t_chunks.append(np.asarray(t_idx, dtype=np.int64))
+        g_chunks.append(np.asarray(g_idx, dtype=np.int64))
+    if not t_chunks:
+        return
+    t = np.concatenate(t_chunks)
+    g = np.concatenate(g_chunks)
+    order = np.argsort(g, kind="stable")
+    t = t[order]
+    g = g[order]
+
+    n_guides = len(guides)
+    # per-guide hit segments
+    seg = np.searchsorted(g, np.arange(n_guides + 1, dtype=np.int64))
+    pos_counts = db.pos_offsets[t + 1] - db.pos_offsets[t]
+    cum = np.cumsum(pos_counts)
+    excl = cum - pos_counts                       # positions before this hit
+    seg_base = np.zeros(n_guides, dtype=np.int64)
+    nonempty = seg[:-1] < seg[1:]
+    seg_base[nonempty] = excl[seg[:-1][nonempty]]
+    within_excl = excl - seg_base[g]              # guide-local exclusive cumsum
+
+    caps = np.fromiter((gu.overflow_cap for gu in guides), np.int64, n_guides)
+    accept = (caps[g] <= 0) | (within_excl < caps[g])
+    t_acc = t[accept]
+    g_acc = g[accept]
+
+    # ragged gather of the accepted hits' position lists
+    starts = db.pos_offsets[t_acc]
+    counts = pos_counts[accept]
+    out_off = np.zeros(t_acc.shape[0] + 1, dtype=np.int64)
+    np.cumsum(counts, out=out_off[1:])
+    total = int(out_off[-1])
+    flat = (np.arange(total, dtype=np.int64)
+            - np.repeat(out_off[:-1], counts)
+            + np.repeat(starts, counts))
+    coords = db.positions[flat]
+
+    seg_a = np.searchsorted(g_acc, np.arange(n_guides + 1, dtype=np.int64))
+    targets = db.targets
+    for gi in range(n_guides):
+        s, e = int(seg_a[gi]), int(seg_a[gi + 1])
+        if s == e:
+            continue
+        offs = out_off[s:e + 1] - out_off[s]
+        guides[gi].set_ots_arrays(targets[t_acc[s:e]],
+                                  coords[out_off[s]:out_off[e]], offs)
 
 
 def discover(db: Database, guide_sites: DiscoveredSites,

@@ -15,6 +15,13 @@ import math
 
 def java_double_to_string(x: float) -> str:
     x = float(x)
+    # fast path: Java uses plain decimal for 1e-3 <= |x| < 1e7, and Python's
+    # repr is already in that layout there (repr switches to scientific only
+    # below 1e-4 or at/above 1e16), so the digit strings coincide
+    if 0.001 <= x < 1e7:
+        return repr(x)
+    if -1e7 < x <= -0.001:
+        return repr(x)
     if math.isnan(x):
         return "NaN"
     if math.isinf(x):

@@ -62,6 +62,17 @@ def _build_lib() -> Optional[ctypes.CDLL]:
     lib.ff_build_index.restype = i64
     lib.ff_build_index.argtypes = [u64p, i64p, i64p, i64p, u8p, i32,
                                    i64, i64, i64, u64p, u64p, i64p, i64p, i64p]
+    u64, c_char_p = ctypes.c_uint64, ctypes.c_char_p
+    lib.ff_render_ot_tokens.restype = i64
+    lib.ff_render_ot_tokens.argtypes = [
+        u64p, i64, i64p, i64, u64p, u64, i32, i32,
+        u64p, i64p, u8p, c_char_p, i64p, i64, c_char_p, i64p,
+        c_char_p, i64, i64p]
+    lib.ff_parse_ot_tokens.restype = i64
+    lib.ff_parse_ot_tokens.argtypes = [
+        c_char_p, i64p, i64, i64p, i64, i32, c_char_p, i64p, i64,
+        u64p, u8p, i64, u64p, i64p, i64, i64p,
+        i64p, i64p, i64p, i64, i64p]
     return lib
 
 
@@ -168,6 +179,116 @@ def build_index(seqs: np.ndarray, bins: np.ndarray, contig_ids: np.ndarray,
     np_kept = int(n_pos[0])
     return (targets_out[:nt].copy(), positions_out[:np_kept].copy(),
             pos_offsets_out[:nt + 1].copy(), bin_start_out)
+
+
+def _contig_table(names: Sequence[str]) -> Tuple[bytes, np.ndarray]:
+    """Concatenate contig names (indexed by contig id) into (buf, offsets)."""
+    enc = [n.encode("ascii") for n in names]
+    offsets = np.zeros(len(enc) + 1, dtype=np.int64)
+    np.cumsum([len(e) for e in enc], out=offsets[1:])
+    return b"".join(enc), offsets
+
+
+def render_ot_tokens(ot_longs: np.ndarray, hit_start: np.ndarray,
+                     guide_longs: np.ndarray, cmp_mask: int, L: int,
+                     write_positions: bool, coords: np.ndarray,
+                     coord_offsets: np.ndarray, valid: np.ndarray,
+                     contig_names: Sequence[str],
+                     score_blocks: Optional[Tuple[bytes, np.ndarray]]):
+    """Native OT-token rendering. Returns (ascii str, per-guide offsets) or
+    None when the native library is unavailable / a contig id is out of
+    range (caller uses the numpy renderer)."""
+    lib = get_native()
+    if lib is None:
+        return None
+    n_hits = int(ot_longs.shape[0])
+    n_guides = int(guide_longs.shape[0])
+    ot_longs = np.ascontiguousarray(ot_longs, dtype=np.uint64)
+    hit_start = np.ascontiguousarray(hit_start, dtype=np.int64)
+    guide_longs = np.ascontiguousarray(guide_longs, dtype=np.uint64)
+    coords = np.ascontiguousarray(coords, dtype=np.uint64)
+    coord_offsets = np.ascontiguousarray(coord_offsets, dtype=np.int64)
+    valid_u8 = np.ascontiguousarray(valid, dtype=np.uint8)
+    cbuf, coffs = _contig_table(contig_names)
+    if score_blocks is not None:
+        sbuf, soffs = score_blocks
+        soffs = np.ascontiguousarray(soffs, dtype=np.int64)
+        sbuf_arg, soffs_arg = sbuf, _ptr(soffs, ctypes.c_int64)
+        score_bytes = len(sbuf)
+    else:
+        sbuf_arg, soffs_arg, score_bytes = None, None, 0
+    max_name = max((len(n) for n in contig_names), default=0)
+    cap = n_hits * (L + 28) + int(coord_offsets[-1]) * (18 + max_name) + score_bytes + 64
+    guide_out = np.zeros(n_guides + 1, dtype=np.int64)
+    for _ in range(3):
+        out = np.empty(max(cap, 64), dtype=np.uint8)
+        got = lib.ff_render_ot_tokens(
+            _ptr(ot_longs, ctypes.c_uint64), n_hits,
+            _ptr(hit_start, ctypes.c_int64), n_guides,
+            _ptr(guide_longs, ctypes.c_uint64), ctypes.c_uint64(cmp_mask),
+            L, 1 if write_positions else 0,
+            _ptr(coords, ctypes.c_uint64), _ptr(coord_offsets, ctypes.c_int64),
+            _ptr(valid_u8, ctypes.c_uint8),
+            cbuf, _ptr(coffs, ctypes.c_int64), len(contig_names),
+            sbuf_arg, soffs_arg,
+            out.ctypes.data_as(ctypes.c_char_p), cap,
+            _ptr(guide_out, ctypes.c_int64))
+        if got == -2:
+            return None
+        if got >= 0:
+            # raw (buffer, used bytes, per-guide offsets) — callers slice
+            # with memoryviews; no whole-buffer copy/decode (fresh
+            # multi-hundred-MB pages are pathologically slow here)
+            return out, int(got), guide_out
+        cap *= 2
+    return None
+
+
+def parse_ot_tokens(buf: bytes, col_offsets: np.ndarray, caps: np.ndarray,
+                    max_mm: int, L: int, contig_names: Sequence[str]):
+    """Native OT-token parsing. Returns (longs, valid, coords, coord_offsets,
+    hit_start, score_ranges[(hit, beg, end)]) or None (caller falls back to
+    the host parser)."""
+    lib = get_native()
+    if lib is None:
+        return None
+    n_guides = int(col_offsets.shape[0]) - 1
+    col_offsets = np.ascontiguousarray(col_offsets, dtype=np.int64)
+    caps = np.ascontiguousarray(caps, dtype=np.int64)
+    cbuf, coffs = _contig_table(contig_names)
+    n_hit_cap = buf.count(b",") + n_guides + 1
+    n_coord_cap = max(buf.count(b"^"), n_hit_cap) + 1
+    n_score_cap = buf.count(b"{") + 1
+    hit_start = np.zeros(n_guides + 1, dtype=np.int64)
+    n_scores = np.zeros(1, dtype=np.int64)
+    for _ in range(8):
+        longs = np.empty(n_hit_cap, dtype=np.uint64)
+        valid = np.empty(n_hit_cap, dtype=np.uint8)
+        coords = np.empty(n_coord_cap, dtype=np.uint64)
+        coord_offsets = np.empty(n_hit_cap + 1, dtype=np.int64)
+        s_hit = np.empty(n_score_cap, dtype=np.int64)
+        s_beg = np.empty(n_score_cap, dtype=np.int64)
+        s_end = np.empty(n_score_cap, dtype=np.int64)
+        got = lib.ff_parse_ot_tokens(
+            buf, _ptr(col_offsets, ctypes.c_int64), n_guides,
+            _ptr(caps, ctypes.c_int64), max_mm, L,
+            cbuf, _ptr(coffs, ctypes.c_int64), len(contig_names),
+            _ptr(longs, ctypes.c_uint64), _ptr(valid, ctypes.c_uint8), n_hit_cap,
+            _ptr(coords, ctypes.c_uint64), _ptr(coord_offsets, ctypes.c_int64),
+            n_coord_cap, _ptr(hit_start, ctypes.c_int64),
+            _ptr(s_hit, ctypes.c_int64), _ptr(s_beg, ctypes.c_int64),
+            _ptr(s_end, ctypes.c_int64), n_score_cap, _ptr(n_scores, ctypes.c_int64))
+        if got == -2:
+            return None
+        if got >= 0:
+            n, ns = int(got), int(n_scores[0])
+            return (longs[:n], valid[:n].astype(bool),
+                    coords[:coord_offsets[n]], coord_offsets[:n + 1],
+                    hit_start.copy(),
+                    list(zip(s_hit[:ns].tolist(), s_beg[:ns].tolist(),
+                             s_end[:ns].tolist())))
+        n_coord_cap *= 4
+    return None
 
 
 def group_sorted(sorted_vals: np.ndarray) -> Optional[Tuple[np.ndarray, np.ndarray]]:

@@ -10,6 +10,8 @@ from __future__ import annotations
 import os
 from typing import List, Optional
 
+import numpy as np
+
 from ..javafmt import java_double_to_string
 from ..positions import overlap
 from ..standards import ParameterPack
@@ -55,11 +57,11 @@ class DangerousSequences(SingleGuideScoreModel):
         if "TTTT" in guide.bases[r0:r1]:
             problems[1] = "1" if self.clean_output else "PolyT"
 
-        if guide.off_targets:
-            in_genome = sum(
-                int(self._enc.get_count(ot.sequence))
-                for ot in guide.off_targets
-                if int(self._enc.mismatches(ot.sequence, guide.long_encoding)) == 0)
+        longs, _, _, _ = guide.ot_arrays()
+        if longs.shape[0]:
+            mm = self._enc.mismatches(longs, np.uint64(guide.long_encoding))
+            counts = (longs >> np.uint64(48)).astype(np.int64)
+            in_genome = int(counts[mm == 0].sum())
             if in_genome > 0:
                 problems[2] = str(in_genome) if self.clean_output else "IN_GENOME=" + str(in_genome)
         return [[p] for p in problems]
@@ -92,25 +94,24 @@ class ClosestHit(SingleGuideScoreModel):
         self._enc = bit_encoding
 
     def score_guide(self, guide) -> List[List[str]]:
-        closest = None
-        count = 0
-        ot_counts = [0] * (self.MAX_MM_STORED + 1)
-        for ot in guide.off_targets:
-            mm = int(self._enc.mismatches(ot.sequence, guide.long_encoding))
-            oc = int(self._enc.get_count(ot.sequence))
-            if mm <= self.MAX_MM_STORED:
-                ot_counts[mm] += oc
-            # exact reference branch structure (ClosestHit.scala:61-66):
-            # zero-mismatch hits never set `closest`, but do add to the count
-            # when `closest` already equals 0... which can't happen; replicate
-            if (closest is None or mm < closest) and mm > 0:
-                closest = mm
-                count = oc
-            elif closest is not None and mm == closest:
-                count += oc
-        if closest is None:
-            return [["UNK"], ["0"], [",".join(str(c) for c in ot_counts)]]
-        return [[str(closest)], [str(count)], [",".join(str(c) for c in ot_counts)]]
+        longs, _, _, _ = guide.ot_arrays()
+        mm = self._enc.mismatches(longs, np.uint64(guide.long_encoding))
+        oc = (longs >> np.uint64(48)).astype(np.int64)
+        in_range = mm <= self.MAX_MM_STORED
+        ot_counts = np.bincount(mm[in_range],
+                                weights=oc[in_range].astype(np.float64),
+                                minlength=self.MAX_MM_STORED + 1).astype(np.int64)
+        hist = ",".join(str(int(c)) for c in ot_counts[:self.MAX_MM_STORED + 1])
+        # the reference's branch structure (ClosestHit.scala:61-66):
+        # zero-mismatch hits never set `closest`, so the result is the
+        # minimum positive mismatch count and the summed occurrence count of
+        # every OT at exactly that distance
+        pos = mm[mm > 0]
+        if pos.shape[0] == 0:
+            return [["UNK"], ["0"], [hist]]
+        closest = int(pos.min())
+        count = int(oc[mm == closest].sum())
+        return [[str(closest)], [str(count)], [hist]]
 
 
 class BedAnnotation(ScoreModel):

@@ -5,26 +5,51 @@ Counterparts of scoring/Doench2016CFDScore.scala,
 scoring/CrisprMitEduOffTarget.scala and scoring/JostAndSantosCRISPRi.scala.
 Coefficient tables are the published model parameters, extracted to JSON in
 scoring/data/.
+
+TPU-first formulation: each model's per-position lookup becomes a dense
+(guide-base, ot-base, position) float table, and a guide's whole OT set is
+scored with one gather + row-product over its columnar code matrix — the
+reference walks each OT string character by character
+(Doench2016CFDScore.scala:132-151); a scalar loop there costs CPython
+minutes at the paper's 1000-guide x 2000-OT workload. Identity positions
+contribute an exact 1.0 factor, so the vectorized row product reproduces the
+reference's sequential fold bit-for-bit (multiplying by 1.0 is exact in
+IEEE-754), and per-guide aggregation uses Python's left-fold ``sum`` to match
+Scala's ``List.sum`` ordering.
 """
 
 from __future__ import annotations
 
 import json
 import os
-from typing import List
+from typing import List, Optional
 
+import numpy as np
+
+from ..bitcoding import STRING_MASK, longs_to_codes, strings_to_codes
 from ..javafmt import java_double_to_string
 from ..standards import (CAS9_SCAN_LENGTH_19MER, CAS9_SCAN_LENGTH_20MER,
                          ParameterPack)
-from ..utils import comp_base
 from .base import SingleGuideScoreModel
 
 _DATA = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
+
+_BASES = "ACGT"
+# DNA complement in 2-bit code space: A(0)<->T(3), C(1)<->G(2)
+_COMP_CODE = np.array([3, 2, 1, 0])
 
 
 def _load(name):
     with open(os.path.join(_DATA, name)) as fh:
         return json.load(fh)
+
+
+def _guide_codes(guide) -> np.ndarray:
+    return strings_to_codes([guide.bases])[0]
+
+
+def _ot_codes(longs: np.ndarray, L: int) -> np.ndarray:
+    return longs_to_codes(np.asarray(longs, dtype=np.uint64) & STRING_MASK, L)
 
 
 class Doench2016CFDScore(SingleGuideScoreModel):
@@ -35,10 +60,28 @@ class Doench2016CFDScore(SingleGuideScoreModel):
 
     def __init__(self):
         d = _load("doench2016cfd.json")
-        self._mm = d["mm_lookup"]
-        self._pam = d["pam_lookup"]
         self._threshold = d["threshold"]
         self._enc = None
+        # (guide base, ot base, position) activity table; identity = 1.0.
+        # key "rX:dY,pos": X = guide base as RNA, Y = complement of the OT
+        # base (the Doench table is keyed on the DNA strand the RNA pairs
+        # with; Doench2016CFDScore.scala:139-144).
+        self._mm_table = np.full((4, 4, 20), np.nan)
+        self._mm_table[np.arange(4), np.arange(4), :] = 1.0
+        rna = {"A": "A", "C": "C", "G": "G", "T": "U"}
+        for gc in range(4):
+            for oc in range(4):
+                if gc == oc:
+                    continue
+                for pos in range(20):
+                    key = "r%s:d%s,%d" % (rna[_BASES[gc]],
+                                          _BASES[_COMP_CODE[oc]], pos + 1)
+                    if key in d["mm_lookup"]:
+                        self._mm_table[gc, oc, pos] = d["mm_lookup"][key]
+        # PAM activity by the last two PAM bases (pamLookup :212-214)
+        self._pam_table = np.full((4, 4), np.nan)
+        for pam, v in d["pam_lookup"].items():
+            self._pam_table["ACGT".index(pam[0]), "ACGT".index(pam[1])] = v
 
     def score_name(self) -> str:
         return "Doench2016CFDScore"
@@ -62,19 +105,30 @@ class Doench2016CFDScore(SingleGuideScoreModel):
     def score_guide(self, guide) -> List[List[str]]:
         assert len(guide.bases) == 23, "We saw an unexpected guide size of %d" % len(guide.bases)
         assert self._enc is not None, "Our bitEncoder has not been set"
-        bases = guide.bases
-        scores = []
-        for ot in guide.off_targets:
-            ot_seq, ot_count = self._enc.decode(ot.sequence)
-            # exclude exact-guide-sequence hits (Doench2016CFDScore.scala:67)
-            if ot_seq[:20] != bases[:20]:
-                pam = self._pam[ot_seq[-2:]]
-                candidate = self.score_cfd(bases[:20], ot_seq[:20])
-                ot.add_score(self.score_name(), java_double_to_string(pam * candidate))
-                scores.append((pam * candidate, ot_count))
-        if scores:
-            specificity = 1.0 / (1.0 + sum(s * c for s, c in scores))
-            max_score = max(s for s, _ in scores)
+        longs, _, _, _ = guide.ot_arrays()
+        n = longs.shape[0]
+        g = _guide_codes(guide)
+        oc = _ot_codes(longs, 23)
+        # exclude exact-guide-sequence hits (Doench2016CFDScore.scala:67)
+        sel = (oc[:, :20] != g[None, :20]).any(axis=1)
+
+        vals = self._mm_table[g[None, :20], oc[:, :20], np.arange(20)[None, :]]
+        assert not np.isnan(vals[sel]).any(), "Missing CFD table key"
+        cand = np.multiply.reduce(vals, axis=1)
+        pam = self._pam_table[oc[:, 21], oc[:, 22]]
+        score = pam * cand
+
+        if guide.num_ots and self.ATTACH_OT_SCORES:
+            col: List[Optional[str]] = [None] * n
+            for i in np.nonzero(sel)[0].tolist():
+                col[i] = java_double_to_string(score[i])
+            guide.set_ot_score_col(self.score_name(), col)
+
+        counts = (longs >> np.uint64(48)).astype(np.float64)
+        weighted = score * counts
+        if sel.any():
+            specificity = 1.0 / (1.0 + sum(weighted[sel].tolist()))
+            max_score = float(score[sel].max())
         else:
             specificity = 1.0
             max_score = 0.0
@@ -82,30 +136,16 @@ class Doench2016CFDScore(SingleGuideScoreModel):
         max_out = java_double_to_string(max_score) if max_score >= self._threshold else "0.0"
         return [[max_out], [java_double_to_string(specificity)]]
 
+    ATTACH_OT_SCORES = True
+
     def score_cfd(self, guide: str, ot_string: str) -> float:
-        """Doench2016CFDScore.scala:132-151."""
+        """Doench2016CFDScore.scala:132-151 (scalar wrapper over the table)."""
         assert len(guide) == 20 and len(ot_string) == 20
-        g = guide.upper().replace("T", "U")
-        o = ot_string.upper().replace("T", "U")
-        score = 1.0
-        for index, (gb, ob) in enumerate(zip(g, o)):
-            if gb != ob:
-                key = "r%s:d%s,%d" % (gb, _special_rev_comp(ob), index + 1)
-                assert key in self._mm, "Missing key " + key
-                score *= self._mm[key]
-        return score
-
-
-def _special_rev_comp(c: str) -> str:
-    if c == "A":
-        return "T"
-    if c == "C":
-        return "G"
-    if c == "G":
-        return "C"
-    if c == "U":
-        return "A"
-    return c
+        g = strings_to_codes([guide.upper()])[0]
+        o = strings_to_codes([ot_string.upper()])[0]
+        vals = self._mm_table[g, o, np.arange(20)]
+        assert not np.isnan(vals).any(), "Missing CFD table key"
+        return float(np.multiply.reduce(vals))
 
 
 class CrisprMitEduOffTarget(SingleGuideScoreModel):
@@ -121,8 +161,12 @@ class CrisprMitEduOffTarget(SingleGuideScoreModel):
     def __init__(self):
         d = _load("hsu2013.json")
         self._coeff = d["offtarget_coeff"]
+        self._one_minus = 1.0 - np.asarray(d["offtarget_coeff"], dtype=np.float64)
         self._pam_adj = d["pam_adjustment"]
         self._default_pam = d["default_pam_value"]
+        self._pam_table = np.full((4, 4), float(d["default_pam_value"]))
+        for pam, v in d["pam_adjustment"].items():
+            self._pam_table["ACGT".index(pam[0]), "ACGT".index(pam[1])] = v
         self.consider_on_target = False
         self._enc = None
 
@@ -147,38 +191,47 @@ class CrisprMitEduOffTarget(SingleGuideScoreModel):
     def score_guide(self, guide) -> List[List[str]]:
         return [[java_double_to_string(self.score_crispr(guide))]]
 
+    def _ot_scores(self, guide) -> np.ndarray:
+        """Per-OT Hsu scores for the whole columnar OT set
+        (CrisprMitEduOffTarget.scala:107-148, vectorized)."""
+        longs, _, _, _ = guide.ot_arrays()
+        g = _guide_codes(guide)
+        oc = _ot_codes(longs, 23)
+        M = oc[:, :self.GUIDE_SIZE] != g[None, :self.GUIDE_SIZE]
+        mmc = M.sum(axis=1)
+        part_one = np.multiply.reduce(np.where(M, self._one_minus[None, :], 1.0),
+                                      axis=1)
+        first = np.argmax(M, axis=1)
+        last = (self.GUIDE_SIZE - 1) - np.argmax(M[:, ::-1], axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            avg_dist = (last - first) / np.maximum(mmc - 1, 1).astype(np.float64)
+        part_two = np.where(mmc < 2, 1.0,
+                            1.0 / ((((19.0 - avg_dist) / 19.0) * 4.0) + 1.0))
+        mmf = mmc.astype(np.float64)
+        with np.errstate(divide="ignore"):
+            part_three = np.where(mmc == 0, 1.0, 1.0 / (mmf * mmf))
+        total = part_one * part_two * part_three * 100.0
+        pam = self._pam_table[oc[:, self.PAM_START], oc[:, self.PAM_STOP - 1]]
+        return total * pam
+
     def score_crispr(self, guide) -> float:
         assert self._enc is not None, "We don't have a valid bit encoding to work with"
-        scores = []
-        for ot in guide.off_targets:
-            if self.consider_on_target or int(self._enc.mismatches(guide.long_encoding, ot.sequence)) != 0:
-                scores.append(self.score_off_target(guide, ot))
-        return (100.0 / (100.0 + sum(scores))) * 100.0
+        longs, _, _, _ = guide.ot_arrays()
+        scores = self._ot_scores(guide)
+        if not self.consider_on_target:
+            mm = self._enc.mismatches(np.uint64(guide.long_encoding), longs)
+            scores = scores[mm != 0]
+        return (100.0 / (100.0 + sum(scores.tolist()))) * 100.0
 
     def score_off_target(self, guide, ot) -> float:
-        """CrisprMitEduOffTarget.scala:107-148."""
-        ot_seq, _ = self._enc.decode(ot.sequence)
-        mismatches = 0
-        distances = []
-        last_mismatch = None
-        part_one = 1.0
-        for index, (ob, gb) in enumerate(zip(ot_seq[:self.GUIDE_SIZE],
-                                             guide.bases[:self.GUIDE_SIZE])):
-            if ob != gb:
-                part_one *= 1.0 - self._coeff[index]
-                mismatches += 1
-                if last_mismatch is not None:
-                    distances.append(index - last_mismatch)
-                last_mismatch = index
-        if mismatches < 2:
-            part_two = 1.0
-        else:
-            avg_dist = sum(distances) / float(len(distances))
-            part_two = 1.0 / ((((19.0 - avg_dist) / 19.0) * 4.0) + 1.0)
-        part_three = 1.0 if mismatches == 0 else 1.0 / float(mismatches) ** 2
-        total = part_one * part_two * part_three * 100.0
-        pam = ot_seq[self.PAM_START:self.PAM_STOP]
-        return total * self._pam_adj.get(pam, self._default_pam)
+        """Scalar wrapper (tests): one OffTargetHit record."""
+        from ..targetio import GuideWithOffTargets, OffTargetHit  # noqa: F401
+        tmp = GuideWithOffTargets(guide.contig, guide.start, guide.bases,
+                                  guide.forward_strand, guide.sequence_context,
+                                  guide.long_encoding)
+        tmp.add_ot(OffTargetHit(ot.sequence, np.asarray(ot.coordinates, np.uint64),
+                                ot.valid_coordinates))
+        return float(self._ot_scores(tmp)[0])
 
 
 class JostAndSantosCRISPRi(SingleGuideScoreModel):
@@ -189,12 +242,25 @@ class JostAndSantosCRISPRi(SingleGuideScoreModel):
 
     def __init__(self):
         d = _load("jost_santos.json")
-        # key: (position, OT base (RNA->DNA), comp(guide base)) -> mean
-        self._mean = {}
-        for pos, trans, mean, _std, _count in d["entries"]:
+        # (position 1..19, OT base, comp(guide base)) -> mean activity;
+        # identity = 1.0. Stored dense: [pos, ot code, guide code].
+        self._table = np.full((19, 4, 4), np.nan)
+        for gc in range(4):
+            self._table[:, gc, gc] = 1.0
+        mean = {}
+        for pos, trans, m, _std, _count in d["entries"]:
             base_from = "T" if trans[1] == "U" else trans[1]
             base_to = "T" if trans[4] == "U" else trans[4]
-            self._mean[(int(pos), base_from, base_to)] = float(mean)
+            mean[(int(pos), base_from, base_to)] = float(m)
+        for gc in range(4):
+            for oc in range(4):
+                if gc == oc:
+                    continue
+                for pos in range(1, 20):
+                    key = (pos, _BASES[oc], _BASES[_COMP_CODE[gc]])
+                    if key in mean:
+                        self._table[pos - 1, oc, gc] = mean[key]
+        self._mean = mean  # (position, OT base, comp(guide base)) -> mean
         self._enc = None
         self._pack = None
 
@@ -220,34 +286,42 @@ class JostAndSantosCRISPRi(SingleGuideScoreModel):
         if self._pack is None:
             self._pack = bit_encoding.pack
 
+    def _lo(self) -> int:
+        """JostAndSantosCRISPRi.scala:92-127: for 20-mers, positions 1..19 of
+        the sequence; for 19-mers, positions 0..18 (both keyed 1..19)."""
+        L = self._pack.total_scan_length
+        if L == CAS9_SCAN_LENGTH_20MER:
+            return 1
+        if L == CAS9_SCAN_LENGTH_19MER:
+            return 0
+        raise ValueError("Unable to match parameter pack")
+
     def score_guide(self, guide) -> List[List[str]]:
-        sequence, _ = self._enc.decode(guide.long_encoding)
-        scores = []
-        for ot in guide.off_targets:
-            base_diff = int(self._enc.mismatches(ot.sequence, guide.long_encoding))
-            if base_diff > 0:
-                ot_seq, _ = self._enc.decode(ot.sequence)
-                scores.append((self.calc_score(sequence, ot_seq), ot.off_target_count))
-        specificity = 1.0 / (1.0 + sum(s * c for s, c in scores))
-        max_score = 0.0 if not scores else max(s for s, _ in scores)
+        L = self._pack.total_scan_length
+        lo = self._lo()
+        longs, _, _, _ = guide.ot_arrays()
+        g = longs_to_codes(np.array([guide.long_encoding], np.uint64) & STRING_MASK, L)[0]
+        oc = _ot_codes(longs, L)
+        mm = self._enc.mismatches(longs, np.uint64(guide.long_encoding))
+        sel = mm > 0
+
+        vals = self._table[np.arange(19)[None, :], oc[:, lo:lo + 19], g[None, lo:lo + 19]]
+        assert not np.isnan(vals[sel]).any(), "Missing Jost&Santos table key"
+        score = np.multiply.reduce(vals, axis=1)
+        counts = (longs >> np.uint64(48)).astype(np.float64)
+        weighted = (score * counts)[sel]
+        specificity = 1.0 / (1.0 + sum(weighted.tolist()))
+        max_score = float(score[sel].max()) if sel.any() else 0.0
         return [[java_double_to_string(max_score)],
                 [java_double_to_string(specificity)]]
 
     def calc_score(self, target: str, off_target: str) -> float:
-        """JostAndSantosCRISPRi.scala:92-127. For 20-mers, positions 1..19 of
-        the sequence; for 19-mers, positions 0..18 (both keyed 1..19)."""
+        """Scalar wrapper over the dense table (tests/goldens)."""
         L = self._pack.total_scan_length
         assert len(target) == L and len(off_target) == L
-        total = 1.0
-        if L == CAS9_SCAN_LENGTH_20MER:
-            lo = 1
-        elif L == CAS9_SCAN_LENGTH_19MER:
-            lo = 0
-        else:
-            raise ValueError("Unable to match parameter pack")
-        for i in range(lo, lo + 19):
-            base = off_target[i]
-            if target[i] != base:
-                key = (i - lo + 1, base, comp_base(target[i]))
-                total *= self._mean[key]
-        return total
+        lo = self._lo()
+        g = strings_to_codes([target])[0]
+        o = strings_to_codes([off_target])[0]
+        vals = self._table[np.arange(19), o[lo:lo + 19], g[lo:lo + 19]]
+        assert not np.isnan(vals).any(), "Missing Jost&Santos table key"
+        return float(np.multiply.reduce(vals))

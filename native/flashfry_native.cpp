@@ -11,6 +11,8 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <string>
+#include <unordered_map>
 #include <vector>
 
 #ifdef _OPENMP
@@ -212,6 +214,244 @@ int64_t ff_build_index(const uint64_t* seqs, const int64_t* bins,
     for (int64_t b = 1; b <= num_bins; ++b) bin_start_out[b] += bin_start_out[b - 1];
     n_positions_out[0] = np;
     return nt;
+}
+
+// ---------------------------------------------------------------------------
+// Off-target token rendering / parsing (targetio hot paths).
+//
+// The token grammar is the reference's CRISPRHit.toOutput /
+// TabDelimitedHandler parser (crispr/CRISPRHit.scala:54-88,
+// targetio/TabDelimitedHandler.scala:278-334):
+//   SEQ_count_mismatches[<contig:pos^F|contig:pos^R|...>][{k=v!...}]
+// joined per guide with ','. At the paper's 1000-guide x 2000-OT workload
+// this is ~2M tokens / ~90 MB of text; a JVM renders that in seconds but a
+// per-token CPython loop takes minutes, so both directions are native.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+inline char* write_u64_dec(char* p, uint64_t v) {
+    char tmp[20];
+    int k = 0;
+    do { tmp[k++] = char('0' + v % 10); v /= 10; } while (v);
+    while (k) *p++ = tmp[--k];
+    return p;
+}
+
+inline int fold_mismatches(uint64_t a, uint64_t b, uint64_t mask) {
+    uint64_t x = (a ^ b) & mask;
+    x = (x | (x >> 1)) & 0x5555555555555555ULL;
+    return __builtin_popcountll(x);
+}
+
+constexpr char kBase[4] = {'A', 'C', 'G', 'T'};
+constexpr uint64_t kStringMask = 0xFFFFFFFFFFFFULL;
+
+}  // namespace
+
+// Render every guide's comma-joined OT token section.
+//
+// hit_start[g]..hit_start[g+1] index this guide's hits in the flat arrays.
+// coords/coord_offsets: CSR of packed positions (BitPosition layout) per hit.
+// contig_buf/contig_offsets: contig-id -> name table (ids index directly).
+// score_buf/score_offsets: optional pre-rendered per-hit "{...}" blocks
+// (score_offsets == nullptr when no hit carries scores).
+// Writes guide g's section at out[guide_out[g]..guide_out[g+1]); returns the
+// total byte count, or -1 if out_cap is too small.
+int64_t ff_render_ot_tokens(
+    const uint64_t* ot_longs, int64_t n_hits,
+    const int64_t* hit_start, int64_t n_guides,
+    const uint64_t* guide_longs, uint64_t cmp_mask, int32_t L,
+    int32_t write_positions,
+    const uint64_t* coords, const int64_t* coord_offsets, const uint8_t* valid,
+    const char* contig_buf, const int64_t* contig_offsets, int64_t n_contigs,
+    const char* score_buf, const int64_t* score_offsets,
+    char* out, int64_t out_cap, int64_t* guide_out) {
+    char* p = out;
+    char* const end = out + out_cap;
+    guide_out[0] = 0;
+    for (int64_t g = 0; g < n_guides; ++g) {
+        const uint64_t gl = guide_longs[g];
+        for (int64_t h = hit_start[g]; h < hit_start[g + 1]; ++h) {
+            // worst-case token bound: seq + 2 counts + positions + scores
+            int64_t bound = L + 24 + 2;
+            const int64_t c0 = coord_offsets[h], c1 = coord_offsets[h + 1];
+            if (write_positions && valid[h]) bound += (c1 - c0) * 16;
+            if (score_offsets) bound += score_offsets[h + 1] - score_offsets[h];
+            if (write_positions && valid[h]) {
+                for (int64_t c = c0; c < c1; ++c) {
+                    const int64_t cid = (int64_t)((coords[c] >> 32) & 0xFFFFFULL);
+                    if (cid >= n_contigs) return -2;
+                    bound += contig_offsets[cid + 1] - contig_offsets[cid];
+                }
+            }
+            if (p + bound > end) return -1;
+
+            if (h > hit_start[g]) *p++ = ',';
+            const uint64_t seq = ot_longs[h] & kStringMask;
+            for (int32_t i = 0; i < L; ++i)
+                *p++ = kBase[(seq >> (2 * (L - 1 - i))) & 3];
+            *p++ = '_';
+            p = write_u64_dec(p, ot_longs[h] >> 48);
+            *p++ = '_';
+            p = write_u64_dec(p, (uint64_t)fold_mismatches(gl, seq, cmp_mask));
+            if (write_positions && valid[h] && c1 > c0) {
+                *p++ = '<';
+                for (int64_t c = c0; c < c1; ++c) {
+                    if (c > c0) *p++ = '|';
+                    const uint64_t pc = coords[c];
+                    const int64_t cid = (int64_t)((pc >> 32) & 0xFFFFFULL);
+                    const int64_t nb = contig_offsets[cid], ne = contig_offsets[cid + 1];
+                    std::memcpy(p, contig_buf + nb, ne - nb);
+                    p += ne - nb;
+                    *p++ = ':';
+                    p = write_u64_dec(p, pc & 0xFFFFFFFFULL);
+                    *p++ = '^';
+                    *p++ = (pc >> 60) ? 'R' : 'F';
+                }
+                *p++ = '>';
+            }
+            if (write_positions && score_offsets) {
+                const int64_t s0 = score_offsets[h], s1 = score_offsets[h + 1];
+                if (s1 > s0) { std::memcpy(p, score_buf + s0, s1 - s0); p += s1 - s0; }
+            }
+        }
+        guide_out[g + 1] = p - out;
+    }
+    return p - out;
+}
+
+// Parse every guide's OT token section back into columnar arrays.
+//
+// buf/col_offsets: concatenated token-column bytes per guide.
+// caps: per-guide overflow cap (<=0 = unlimited); hits are appended while
+// the accumulated position count stays below the cap (CRISPRSiteOT.addOT).
+// max_mm: drop tokens whose recorded mismatch count exceeds it.
+// Score blocks are emitted as (hit index, byte range) into score_hit /
+// score_beg / score_end (capacity n_score_cap) for the host to attach.
+// Returns number of hits, or -1 (an out capacity too small: caller grows) /
+// -2 (grammar/contig error: caller falls back to the host parser).
+int64_t ff_parse_ot_tokens(
+    const char* buf, const int64_t* col_offsets, int64_t n_guides,
+    const int64_t* caps, int64_t max_mm, int32_t L,
+    const char* contig_buf, const int64_t* contig_offsets, int64_t n_contigs,
+    uint64_t* out_longs, uint8_t* out_valid, int64_t n_hit_cap,
+    uint64_t* out_coords, int64_t* out_coord_offsets, int64_t n_coord_cap,
+    int64_t* hit_start,
+    int64_t* score_hit, int64_t* score_beg, int64_t* score_end,
+    int64_t n_score_cap, int64_t* n_scores_out) {
+    std::unordered_map<std::string, int64_t> contig_ids;
+    contig_ids.reserve((size_t)n_contigs * 2);
+    for (int64_t c = 0; c < n_contigs; ++c)
+        contig_ids.emplace(std::string(contig_buf + contig_offsets[c],
+                                       contig_buf + contig_offsets[c + 1]), c);
+
+    int64_t nh = 0, nc = 0, ns = 0;
+    out_coord_offsets[0] = 0;
+    hit_start[0] = 0;
+    uint8_t code_of[256];
+    std::memset(code_of, 255, sizeof(code_of));
+    code_of['A'] = 0; code_of['C'] = 1; code_of['G'] = 2; code_of['T'] = 3;
+    code_of['a'] = 0; code_of['c'] = 1; code_of['g'] = 2; code_of['t'] = 3;
+
+    for (int64_t g = 0; g < n_guides; ++g) {
+        const char* p = buf + col_offsets[g];
+        const char* const ge = buf + col_offsets[g + 1];
+        const int64_t cap = caps[g];
+        int64_t current = 0;
+        while (p < ge) {
+            // SEQ
+            uint64_t seq = 0;
+            int32_t sl = 0;
+            while (p < ge && code_of[(uint8_t)*p] < 4) {
+                seq = (seq << 2) | code_of[(uint8_t)*p];
+                ++p; ++sl;
+            }
+            if (sl == 0 || sl > 24 || p >= ge || *p != '_') return -2;
+            ++p;
+            // count
+            uint64_t count = 0;
+            while (p < ge && *p >= '0' && *p <= '9') { count = count * 10 + (*p - '0'); ++p; }
+            if (count > 32767 || p >= ge || *p != '_') return -2;
+            ++p;
+            // mismatches
+            int64_t mm = 0;
+            while (p < ge && *p >= '0' && *p <= '9') { mm = mm * 10 + (*p - '0'); ++p; }
+
+            const bool keep = mm <= max_mm &&
+                              !(cap > 0 && current >= cap);
+            const bool in_range = mm <= max_mm;
+            int64_t n_pos = 0;
+            if (p < ge && *p == '<') {
+                ++p;
+                while (p < ge && *p != '>') {
+                    const char* ns_ = p;
+                    while (p < ge && *p != ':') ++p;
+                    if (p >= ge) return -2;
+                    auto it = contig_ids.find(std::string(ns_, p));
+                    if (it == contig_ids.end()) return -2;
+                    ++p;
+                    uint64_t pos = 0;
+                    while (p < ge && *p >= '0' && *p <= '9') { pos = pos * 10 + (*p - '0'); ++p; }
+                    if (p >= ge || *p != '^') return -2;
+                    ++p;
+                    if (p >= ge || (*p != 'F' && *p != 'R')) return -2;
+                    const uint64_t strand = (*p == 'R') ? (1ULL << 60) : 0ULL;
+                    ++p;
+                    if (keep) {
+                        if (nc >= n_coord_cap) return -1;
+                        out_coords[nc++] = strand | ((uint64_t)sl << 52) |
+                                           ((uint64_t)it->second << 32) | pos;
+                    }
+                    ++n_pos;
+                    if (p < ge && *p == '|') ++p;
+                }
+                if (p >= ge) return -2;
+                ++p;  // '>'
+                if (keep) {
+                    if (nh >= n_hit_cap) return -1;
+                    out_longs[nh] = seq | (count << 48);
+                    out_valid[nh] = 1;
+                    out_coord_offsets[nh + 1] = nc;
+                    current += n_pos;
+                    ++nh;
+                }
+            } else {
+                // no positions: a dummy zero-coordinate per count
+                if (keep) {
+                    if (nh >= n_hit_cap || nc + (int64_t)count > n_coord_cap) return -1;
+                    out_longs[nh] = seq | (count << 48);
+                    out_valid[nh] = 0;
+                    std::memset(out_coords + nc, 0, sizeof(uint64_t) * count);
+                    nc += (int64_t)count;
+                    out_coord_offsets[nh + 1] = nc;
+                    current += (int64_t)count;
+                    ++nh;
+                }
+            }
+            if (p < ge && *p == '{') {
+                if (!in_range) return -2;  // reference asserts here
+                const char* sb = ++p;
+                while (p < ge && *p != '}') ++p;
+                if (p >= ge) return -2;
+                if (keep) {
+                    if (ns >= n_score_cap) return -1;
+                    score_hit[ns] = nh - 1;
+                    score_beg[ns] = sb - buf;
+                    score_end[ns] = p - buf;
+                    ++ns;
+                }
+                ++p;
+            }
+            if (p < ge) {
+                if (*p != ',') return -2;
+                ++p;
+            }
+        }
+        hit_start[g + 1] = nh;
+    }
+    n_scores_out[0] = ns;
+    return nh;
 }
 
 }  // extern "C"
