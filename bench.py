@@ -66,6 +66,34 @@ def get_database():
     return db
 
 
+def discover_e2e(db, scanner, guide_longs, out_path):
+    """Full discover epilogue: scan -> vectorized hit collection (overflow
+    cap 2000) -> positionOutput TSV. The piece FlashFry's 65 s wall-clock is
+    spent on (modules/OffTargetDiscovery.scala:79-153)."""
+    from flashfry_tpu.bitcoding import STRING_MASK
+    from flashfry_tpu.engine import _collect_hits
+    from flashfry_tpu.targetio import GuideWithOffTargets, write_output
+
+    guides = [
+        GuideWithOffTargets("bench", i * 30, "", True, None,
+                            int(g & STRING_MASK | (np.uint64(1) << np.uint64(48))),
+                            overflow_cap=2000)
+        for i, g in enumerate(guide_longs)]
+    enc = db.bit_encoding()
+    seqs, _ = enc.decode_batch(np.asarray(guide_longs, dtype=np.uint64))
+    for g, s in zip(guides, seqs):
+        g.bases = s
+    t0 = time.time()
+    _collect_hits(db, guides, scanner.scan(
+        np.asarray([g.long_encoding for g in guides], dtype=np.uint64), MAX_MM))
+    t_collect = time.time()
+    write_output(out_path, guides, enc, db.bit_position(),
+                 models=(), write_ots=True, write_positions=True)
+    t_write = time.time()
+    n_ots = sum(g.ot_count_total() for g in guides)
+    return t_collect - t0, t_write - t_collect, n_ots
+
+
 def main():
     db = get_database()
     from flashfry_tpu.ops.scan import DeviceScanner, default_platform
@@ -97,6 +125,15 @@ def main():
     log("scan: %.3fs/iter, %d x %d = %.3g comparisons, %.3g cmp/s" %
         (dt, N_GUIDES, n, comparisons, rate))
 
+    # end-to-end discover: scan + collection + positionOutput rendering.
+    # FlashFry does 1000 guides / mm=4 / hg38 in 65.09 s (BASELINE.md).
+    t0 = time.time()
+    t_scan_collect, t_render, n_ots = discover_e2e(
+        db, scanner, guide_longs, "/tmp/flashfry_tpu_bench_discover.out")
+    e2e = time.time() - t0
+    log("discover e2e: %.3fs (scan+collect %.3fs, render+write %.3fs, %d OT positions)"
+        % (e2e, t_scan_collect, t_render, n_ots))
+
     print(json.dumps({
         "metric": "guide-vs-database comparisons/s/chip (1000 guides, mm=4, %dMbp genome)" % GENOME_MB,
         "value": round(rate),
@@ -109,6 +146,9 @@ def main():
             "guides": N_GUIDES,
             "seconds_per_scan": round(dt, 4),
             "hits": hits,
+            "e2e_discover_seconds": round(e2e, 4),
+            "e2e_ot_positions": n_ots,
+            "flashfry_1000g_mm4_hg38_seconds": 65.09,
         },
     }))
 

@@ -159,9 +159,25 @@ def cmd_extract(args) -> None:
     dump_database(args)
 
 
+def _pin_platform() -> None:
+    """Honor FLASHFRY_TPU_PLATFORM=cpu|tpu: pins jax's default device. Needed
+    because the axon TPU plugin registers its PJRT client at interpreter
+    startup, so JAX_PLATFORMS alone cannot hide the real chip."""
+    import os
+    plat = os.environ.get("FLASHFRY_TPU_PLATFORM")
+    if plat:
+        if plat == "cpu":
+            # keep the TPU PJRT plugin from initializing at all (it may be
+            # unavailable, or held by another process)
+            os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_default_device", jax.devices(plat)[0])
+
+
 def main(argv=None) -> int:
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(levelname)s %(name)s - %(message)s")
+    _pin_platform()
     t0 = time.time()
     args = build_parser().parse_args(argv)
     {"index": cmd_index, "discover": cmd_discover, "score": cmd_score,

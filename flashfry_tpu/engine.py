@@ -42,6 +42,7 @@ class ScanStats:
     """Counters mirroring the reference's Traverser counters
     (reference/traverser/Traverser.scala:66-74)."""
     all_targets: int = 0
+    all_targets_and_positions: int = 0  # targets weighted by genomic positions
     all_comparisons: int = 0          # FlashFry-equivalent comparisons (after pruning)
     dense_comparisons: int = 0        # raw guide x target comparisons performed
     scan_seconds: float = 0.0
@@ -78,6 +79,8 @@ def _scan_numpy(db: Database, guide_longs: np.ndarray, max_mismatch: int,
     Yields (target_idx int64[:], guide_idx int64[:], mm int8[:]) per chunk,
     target-major sorted (global scan order).
     """
+    import logging
+    logger = logging.getLogger("flashfry_tpu.engine")
     enc = db.bit_encoding()
     g = np.asarray(guide_longs, dtype=np.uint64)
     n = db.num_targets
@@ -86,8 +89,16 @@ def _scan_numpy(db: Database, guide_longs: np.ndarray, max_mismatch: int,
     if bin_mask is not None:
         # per-target bin index, to mask pruned (guide, target) pairs
         tgt_bins = np.repeat(np.arange(db.num_bins), db.bin_target_counts())
-    for lo in range(0, n, chunk):
+    t0 = time.time()
+    for chunk_i, lo in enumerate(range(0, n, chunk)):
         hi = min(n, lo + chunk)
+        if chunk_i and chunk_i % 64 == 0:
+            # progress-line parity (SeekTraverser.scala:93-99)
+            logger.info("Comparing the %sth chunk of %s targets; executed %s "
+                        "comparisons so far (%.1fs)", format(chunk_i, ","),
+                        format(hi - lo, ","), format(stats.all_comparisons, ","),
+                        time.time() - t0)
+        stats.all_targets_and_positions += int(db.pos_offsets[hi] - db.pos_offsets[lo])
         sub_mask = None
         if bin_mask is not None:
             sub_mask = bin_mask[tgt_bins[lo:hi]]  # (T, G)

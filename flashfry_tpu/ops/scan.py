@@ -307,13 +307,29 @@ TRIPLET_CAP = 1 << 17   # max (guide, target) hit pairs per fused block scan
 MAX_RETRIES = 3         # cap-doubling retries before the exact host fallback
 
 
+def hbm_budget_bytes() -> int:
+    """HBM budget for the resident code planes. Default 13 GiB of the v5e's
+    16 GiB (leaving room for guide/one-hot/compaction buffers and XLA
+    scratch); override with FLASHFRY_TPU_HBM_BUDGET_GB."""
+    import os
+    gb = float(os.environ.get("FLASHFRY_TPU_HBM_BUDGET_GB", "13"))
+    return int(gb * (1 << 30))
+
+
 class DeviceScanner:
     """Holds the database on device (plane-major codes) and scans guide
-    batches against it."""
+    batches against it.
+
+    When the code planes exceed the HBM budget (mm=5-scale databases,
+    genomes beyond hg38, or a shared chip), the scanner streams the database
+    through HBM in fixed-size target slabs instead of holding it resident:
+    ascending slabs x guide blocks, so per-guide hits still arrive in global
+    target order and all slabs share one compiled executable."""
 
     def __init__(self, db: Database, use_pallas: Optional[bool] = None,
                  chunk: Optional[int] = None, cap: int = DEFAULT_CAP,
-                 trip_cap: int = TRIPLET_CAP):
+                 trip_cap: int = TRIPLET_CAP,
+                 hbm_budget: Optional[int] = None):
         import jax
         enable_compilation_cache()
         self.trip_cap = trip_cap
@@ -332,7 +348,15 @@ class DeviceScanner:
         n = db.num_targets
         self.n = n
         n_pad = max(chunk, int(np.ceil(max(n, 1) / chunk)) * chunk)
-        self.codes = jax.device_put(plane_codes(db.targets, self.L, n_pad))
+        if hbm_budget is None:
+            hbm_budget = hbm_budget_bytes()
+        if CODE_ROWS * n_pad <= hbm_budget:
+            self.codes = jax.device_put(plane_codes(db.targets, self.L, n_pad))
+            self.slab_n = n_pad
+        else:
+            self.codes = None  # streaming: slabs uploaded per scan
+            per_slab = max(hbm_budget // (2 * CODE_ROWS), chunk)  # double-buffer room
+            self.slab_n = max(chunk, (per_slab // chunk) * chunk)
         self.use_pallas = use_pallas
 
     def scan(self, guide_longs: np.ndarray, max_mismatch: int,
@@ -349,29 +373,48 @@ class DeviceScanner:
         executable has one of a handful of static shapes — compiled once,
         persistently cached, reused for any guide count.
         """
+        import jax
         g_all = np.asarray(guide_longs, dtype=np.uint64)
         n_guides = g_all.shape[0]
         block = 128
         while block < n_guides and block < 1024:
             block *= 2
-        for g_lo in range(0, max(n_guides, 1), block):
-            g_hi = min(n_guides, g_lo + block)
-            for t_idx, g_idx, mm in self._scan_guide_block(
-                    g_all[g_lo:g_hi], max_mismatch, stats, block):
-                yield t_idx, g_idx + g_lo, mm
+        blocks = [(g_lo, min(n_guides, g_lo + block))
+                  for g_lo in range(0, max(n_guides, 1), block)]
+        if self.codes is not None:
+            for g_lo, g_hi in blocks:
+                for t_idx, g_idx, mm in self._scan_guide_block(
+                        g_all[g_lo:g_hi], max_mismatch, stats, block,
+                        self.codes, 0, self.n):
+                    yield t_idx, g_idx + g_lo, mm
+            return
+        # streaming: ascending slabs outer so per-guide order is preserved
+        for t_lo in range(0, self.n, self.slab_n):
+            t_hi = min(self.n, t_lo + self.slab_n)
+            codes_d = jax.device_put(
+                plane_codes(self.db.targets[t_lo:t_hi], self.L, self.slab_n))
+            for g_lo, g_hi in blocks:
+                for t_idx, g_idx, mm in self._scan_guide_block(
+                        g_all[g_lo:g_hi], max_mismatch,
+                        stats if t_lo == 0 else None, block,
+                        codes_d, t_lo, t_hi - t_lo):
+                    yield t_idx + t_lo, g_idx + g_lo, mm
+            del codes_d
 
     def _scan_guide_block(self, guide_longs: np.ndarray, max_mismatch: int,
-                          stats, pad_to: int) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
-        """One fixed-shape guide block against the whole database, in a
+                          stats, pad_to: int, codes, t_base: int,
+                          n_valid: int) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """One fixed-shape guide block against one resident code array, in a
         single fused device dispatch. On cap overflow, retry with doubled
         caps (each size compiles once, persistently cached); after
         MAX_RETRIES, fall back to the exact host scan."""
         import jax
         guide_oh, n_active, G = guide_onehot_matrix(guide_longs, self.db.pack,
                                                     pad_to=pad_to)
-        n_chunks = self.codes.shape[1] // self.chunk
+        n_chunks = codes.shape[1] // self.chunk
         if stats is not None and G:
             stats.all_targets += self.n
+            stats.all_targets_and_positions += int(self.db.pos_offsets[-1])
             stats.dense_comparisons += self.n * G
             stats.all_comparisons += self.n * G
         guide_oh_d = jax.device_put(guide_oh)
@@ -381,8 +424,8 @@ class DeviceScanner:
             fused = _fused_scan_jit(self.L, self.n_act, max_mismatch,
                                     self.chunk, guide_oh.shape[0], n_chunks,
                                     self.cap, self.trip_cap, self.use_pallas)
-            buf = np.asarray(fused(self.codes, guide_oh_d, n_active_d,
-                                   np.int32(self.n)))  # ONE fetch
+            buf = np.asarray(fused(codes, guide_oh_d, n_active_d,
+                                   np.int32(n_valid)))  # ONE fetch
             t_idx, g_idx, mm, count, overflow = parse_trip_buffer(buf)
             if not overflow and count <= self.trip_cap:
                 if count:
@@ -396,17 +439,22 @@ class DeviceScanner:
                 self.cap *= 4
             if (overflow & 2) or count > self.trip_cap:
                 self.trip_cap *= 4
-        yield from self._host_scan(guide_longs, max_mismatch)
+        yield from self._host_scan(guide_longs, max_mismatch,
+                                   t_base=t_base, n_valid=n_valid)
 
     def _host_scan(self, guide_longs, max_mismatch,
-                   chunk: int = 1 << 20):
-        """Exact vectorized host fallback (target-major global order)."""
+                   chunk: int = 1 << 20, t_base: int = 0,
+                   n_valid: Optional[int] = None):
+        """Exact vectorized host fallback (target-major order, slab-local
+        indices relative to t_base)."""
         from ..bitcoding import BitEncoding
         enc = BitEncoding(self.db.pack)
         g = np.asarray(guide_longs, dtype=np.uint64)
-        for lo in range(0, self.n, chunk):
-            hi = min(self.n, lo + chunk)
-            mm = enc.mismatches_cross(self.db.targets[lo:hi], g)
+        n = self.n - t_base if n_valid is None else n_valid
+        for lo in range(0, n, chunk):
+            hi = min(n, lo + chunk)
+            mm = enc.mismatches_cross(
+                self.db.targets[t_base + lo:t_base + hi], g)
             t_idx, g_idx = np.nonzero(mm <= max_mismatch)
             if t_idx.size:
                 yield t_idx + lo, g_idx, mm[t_idx, g_idx].astype(np.int8)

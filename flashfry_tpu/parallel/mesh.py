@@ -142,12 +142,20 @@ class ShardedScanner:
         self.chunk = chunk
         self.cap = cap
         self.trip_cap = trip_cap
+        self._step_cache = {}
         self.shard_n = -(-per_shard // chunk) * chunk   # targets per shard (padded)
         n_pad = self.shard_n * self.D
         codes = plane_codes(db.targets, self.L, n_pad)
         self.codes = jax.device_put(codes, NamedSharding(mesh, P(None, "db")))
 
     def _step(self, max_mismatch: int, g_rows: int, col_cap: int, trip_cap: int):
+        """Jitted multi-chip scan step, memoized per shape/cap tuple so
+        repeat guide blocks reuse one traced executable (the single-device
+        path memoizes the same way via ops.scan._fused_scan_jit)."""
+        key = (max_mismatch, g_rows, col_cap, trip_cap)
+        cached = self._step_cache.get(key)
+        if cached is not None:
+            return cached
         import jax
         import jax.numpy as jnp
         from jax import shard_map
@@ -173,7 +181,9 @@ class ShardedScanner:
             out_specs=P("db", "guides", None, None),
             check_vma=False,
         )
-        return jax.jit(step)
+        jitted = jax.jit(step)
+        self._step_cache[key] = jitted
+        return jitted
 
     def scan(self, guide_longs: np.ndarray, max_mismatch: int,
              bin_mask=None, stats=None):
@@ -205,6 +215,7 @@ class ShardedScanner:
         g_local = g_rows // self.Gx
         if stats is not None and G:
             stats.all_targets += self.n
+            stats.all_targets_and_positions += int(self.db.pos_offsets[-1])
             stats.dense_comparisons += self.n * G
             stats.all_comparisons += self.n * G
         goh_d = jax.device_put(guide_oh, NamedSharding(self.mesh, P("guides", None)))

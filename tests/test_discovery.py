@@ -148,3 +148,36 @@ def test_position_longs_roundtrip():
     assert start == 0
     assert size == 23
     assert fwd
+
+
+def test_reference_dict_reader(tmp_path):
+    """.dict sequence-dictionary parsing (ReferenceDictReader.scala:29-47)."""
+    from flashfry_tpu.refdict import ReferenceDictReader
+    p = tmp_path / "ref.dict"
+    p.write_text(
+        "@HD\tVN:1.6\n"
+        "@SQ\tSN:chr1\tLN:248956422\tM5:abc\n"
+        "@SQ\tSN:chr2\tLN:242193529\n"
+        "@PG\tID:x\n")
+    rd = ReferenceDictReader(str(p))
+    entries = list(rd)
+    assert [(e.seq_name, e.length) for e in entries] == \
+        [("chr1", 248956422), ("chr2", 242193529)]
+    bp = rd.generate_bit_position()
+    assert bp.contig_names_in_order == ["chr1", "chr2"]
+    assert bp.contig_map["chr1"] == 1
+
+
+def test_scan_stats_targets_and_positions():
+    from flashfry_tpu.database import build_database_from_sites
+    from flashfry_tpu.engine import ScanStats, discover
+    import numpy as np
+    rng = np.random.default_rng(5)
+    genome = "".join("ACGT"[c] for c in rng.integers(0, 4, size=40_000))
+    sites = scan(genome, Cas9NGGParameterPack)
+    db = build_database_from_sites(sites, 7)
+    gsites = scan(genome[1000:1400], Cas9NGGParameterPack)
+    stats = ScanStats()
+    discover(db, gsites, max_mismatch=4, backend="numpy", stats=stats)
+    assert stats.all_targets_and_positions == int(db.pos_offsets[-1])
+    assert stats.all_targets == db.num_targets

@@ -26,9 +26,14 @@ GOLDEN = {
 }
 
 
-def run(args):
+def run(args, platform=None):
     env = dict(os.environ)
     env["PYTHONPATH"] = ROOT
+    if platform:
+        env["FLASHFRY_TPU_PLATFORM"] = platform
+        flags = env.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
     subprocess.run([sys.executable, "-m", "flashfry_tpu"] + args,
                    check=True, env=env, capture_output=True)
 
@@ -55,3 +60,19 @@ def test_full_pipeline_golden_md5(tmp_path):
          "--database", w + "/db"])
     for name, expect in GOLDEN.items():
         assert md5(os.path.join(w, name)) == expect, "%s changed" % name
+
+
+@pytest.mark.skipif(not os.path.exists(MYC), reason="reference fixture missing")
+def test_jax_backend_cli_md5_equal(tmp_path):
+    """The jax backend (8-virtual-CPU sharded scan) through the CLI must
+    produce a file byte-identical to the numpy oracle backend."""
+    w = str(tmp_path)
+    run(["index", "--reference", MYC, "--database", w + "/db",
+         "--enzyme", "spcas9"])
+    run(["discover", "--fasta", GUIDES, "--database", w + "/db",
+         "--output", w + "/g.np.out", "--positionOutput", "--backend", "numpy"])
+    run(["discover", "--fasta", GUIDES, "--database", w + "/db",
+         "--output", w + "/g.jax.out", "--positionOutput", "--backend", "jax"],
+        platform="cpu")
+    assert md5(w + "/g.jax.out") == md5(w + "/g.np.out")
+    assert md5(w + "/g.jax.out") == GOLDEN["g.pos.out"]

@@ -89,3 +89,26 @@ def test_discover_sharded_backend_byte_equal():
 def test_demo_collective_step():
     hit_any, total = sharded_scan_demo(8, targets_per_device=256, guides_per_device=4)
     assert total >= 1
+
+
+def test_sharded_step_compiled_once_across_guide_blocks(monkeypatch):
+    """Two same-shape guide blocks must share ONE traced executable
+    (the _step memo); only cap escalation may add entries."""
+    db, _ = _db(Cas9NGGParameterPack, seed=31)
+    rng = np.random.default_rng(3)
+    scanner = ShardedScanner(db, mesh=make_mesh(8), use_pallas=False, chunk=1 << 12)
+    builds = []
+    orig = type(scanner)._step
+
+    def counting_step(self, *key):
+        if key not in self._step_cache:
+            builds.append(key)
+        return orig(self, *key)
+
+    monkeypatch.setattr(type(scanner), "_step", counting_step)
+    g1 = db.targets[rng.choice(db.num_targets, size=40, replace=False)]
+    g2 = db.targets[rng.choice(db.num_targets, size=40, replace=False)]
+    for block in (g1, g2):
+        for _ in scanner._scan_guide_block(block, 4, None, 128):
+            pass
+    assert len(builds) == 1, "same-shape guide blocks must share one executable"

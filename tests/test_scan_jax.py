@@ -183,3 +183,35 @@ def test_packed_nonzero_clamps_overflow_indices():
     assert int(n) == 1 and int(idx[0]) == 5
     # beyond-count entries stay in-bounds (callers mask by count)
     assert np.all(np.asarray(idx) < mask.shape[0])
+
+
+def test_device_scanner_streaming_slabs_match_numpy():
+    """With a tiny HBM budget, the scanner streams the database through the
+    device in target slabs; hits, mismatch counts and per-guide target order
+    must equal the resident scan exactly."""
+    genome = random_genome(80000, seed=33)
+    db = build_db(genome, Cas9NGGParameterPack)
+    gsites = find_target_sites(iter([("g", genome[3000:3700])]),
+                               Cas9NGGParameterPack)
+    guides = np.asarray(gsites.sequences)
+
+    resident = DeviceScanner(db, use_pallas=False, chunk=1 << 12)
+    assert resident.codes is not None
+    budget = 32 * (1 << 12) * 2  # two chunks of code planes
+    streaming = DeviceScanner(db, use_pallas=False, chunk=1 << 12,
+                              hbm_budget=budget)
+    assert streaming.codes is None, "tiny budget must force streaming"
+    assert streaming.slab_n < db.num_targets, "multiple slabs expected"
+
+    def collect(sc):
+        got = {}
+        for t_idx, g_idx, mm in sc.scan(guides, 4):
+            for t, g, m in zip(t_idx.tolist(), g_idx.tolist(), mm.tolist()):
+                got.setdefault(g, []).append((t, m))
+        return got
+
+    a, b = collect(resident), collect(streaming)
+    assert a == b
+    for g, hits in b.items():
+        ts = [t for t, _ in hits]
+        assert ts == sorted(ts)
