@@ -144,9 +144,28 @@ class ShardedScanner:
         self.trip_cap = trip_cap
         self._step_cache = {}
         self.shard_n = -(-per_shard // chunk) * chunk   # targets per shard (padded)
-        n_pad = self.shard_n * self.D
-        codes = plane_codes(db.targets, self.L, n_pad)
-        self.codes = jax.device_put(codes, NamedSharding(mesh, P(None, "db")))
+        self.n_pad = self.shard_n * self.D
+        self.codes = self._put_codes()
+
+    def _put_codes(self):
+        """Build + upload the sharded code planes. Single-process: the full
+        host array, device_put with the (None, "db") sharding. Multi-host
+        subclasses override to build only the local slabs."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..ops.scan import plane_codes
+        codes = plane_codes(self.db.targets, self.L, self.n_pad)
+        return jax.device_put(codes, NamedSharding(self.mesh, P(None, "db")))
+
+    def _make_global(self, arr: np.ndarray, spec):
+        """Host array -> global device array with the given PartitionSpec."""
+        import jax
+        from jax.sharding import NamedSharding
+        return jax.device_put(arr, NamedSharding(self.mesh, spec))
+
+    def _fetch(self, out) -> np.ndarray:
+        """Device (D, Gx, 2, width) triplet buffers -> host np array."""
+        return np.asarray(out)
 
     def _step(self, max_mismatch: int, g_rows: int, col_cap: int, trip_cap: int):
         """Jitted multi-chip scan step, memoized per shape/cap tuple so
@@ -205,8 +224,7 @@ class ShardedScanner:
                 yield t_idx, g_idx + g_lo, mm
 
     def _scan_guide_block(self, guide_longs, max_mismatch, stats, pad_to):
-        import jax
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from jax.sharding import PartitionSpec as P
         from ..ops.scan import guide_onehot_matrix, parse_trip_buffer, MAX_RETRIES
 
         guide_oh, n_active, G = guide_onehot_matrix(guide_longs, self.db.pack,
@@ -218,12 +236,12 @@ class ShardedScanner:
             stats.all_targets_and_positions += int(self.db.pos_offsets[-1])
             stats.dense_comparisons += self.n * G
             stats.all_comparisons += self.n * G
-        goh_d = jax.device_put(guide_oh, NamedSharding(self.mesh, P("guides", None)))
-        na_d = jax.device_put(n_active, NamedSharding(self.mesh, P("guides")))
+        goh_d = self._make_global(guide_oh, P("guides", None))
+        na_d = self._make_global(n_active, P("guides"))
 
         for _attempt in range(1 + MAX_RETRIES):
             step = self._step(max_mismatch, g_rows, self.cap, self.trip_cap)
-            out = np.asarray(step(self.codes, goh_d, na_d, np.int32(self.n)))
+            out = self._fetch(step(self.codes, goh_d, na_d, np.int32(self.n)))
             parsed = [[parse_trip_buffer(out[s, q]) for q in range(self.Gx)]
                       for s in range(self.D)]
             col_of = any(p[4] & 1 for row in parsed for p in row)
