@@ -1,69 +1,51 @@
 """Java/Scala ``Double.toString`` compatible formatting.
 
 The reference emits scores via Scala's Double.toString (e.g.
-Doench2014OnTarget.scala:62, CRISPRSiteOT annotations), whose format differs
-from Python's repr: decimal notation only for 1e-3 <= |x| < 1e7, otherwise
-"computerized scientific notation" like ``1.0E-4`` / ``1.2345E7``; always at
-least one fractional digit. The shortest-round-trip digit selection matches
-Python's repr, so we re-render repr's digits under Java's layout rules.
+Doench2014OnTarget.scala:62, CRISPRSiteOT annotations). FlashFry (2018) ran
+on JDK 8, whose ``FloatingDecimal.toJavaFormatString`` is NOT exactly
+shortest-round-trip (that arrived with Ryū in JDK 19): it is a Dragon-style
+digit generator with fixed half-ulp bounds, a special half-gap hack for
+exact powers of two, an "at least two digits in E-form" rule, and an exact
+integer fast path that rounds away sub-ulp digits. ``jdk8_double_to_string``
+re-implements that algorithm with exact big-int arithmetic; digits therefore
+match a JDK 8 JVM bit-for-bit, including the cases where JDK 8 emits
+non-shortest digit strings.
+
+``java_double_to_string`` (the hot call, ~2M/score run) returns Python's
+repr directly inside the decimal window [1e-3, 1e7) — where JDK 8 digits
+provably equal shortest-round-trip digits — and the exact (LRU-cached)
+JDK 8 emulation everywhere else. tests/test_javafmt.py fuzz-checks the
+window equivalence and pins the known JDK 8 quirk outputs.
 """
 
 from __future__ import annotations
 
+import functools
 import math
+import struct
+
+# ---------------------------------------------------------------------------
+# repr-digit layout (fast path)
+# ---------------------------------------------------------------------------
 
 
 def java_double_to_string(x: float) -> str:
     x = float(x)
-    # fast path: Java uses plain decimal for 1e-3 <= |x| < 1e7, and Python's
-    # repr is already in that layout there (repr switches to scientific only
-    # below 1e-4 or at/above 1e16), so the digit strings coincide
+    # Fast path: Java uses plain decimal layout for 1e-3 <= |x| < 1e7 and
+    # Python's repr is already in that layout there. In that window the
+    # JDK 8 digits provably equal the shortest-round-trip digits: the two
+    # algorithms can only disagree when |d - x| == ulp/2 EXACTLY for some
+    # <=17-digit decimal d (JDK's bounds are strict; shortest accepts the
+    # even-mantissa tie) — but such a d would need >= 43 significant digits
+    # at these exponents, a contradiction. (Fuzz-verified too:
+    # tests/test_javafmt.py.) Everything outside the window takes the exact
+    # JDK 8 emulation, which DOES diverge from shortest there (powers of
+    # two, big integers, deep subnormals).
     if 0.001 <= x < 1e7:
         return repr(x)
     if -1e7 < x <= -0.001:
         return repr(x)
-    if math.isnan(x):
-        return "NaN"
-    if math.isinf(x):
-        return "Infinity" if x > 0 else "-Infinity"
-    sign = "-" if (x < 0 or (x == 0 and math.copysign(1.0, x) < 0)) else ""
-    if x == 0:
-        return sign + "0.0"
-
-    r = repr(abs(x))
-    # parse repr into digit string + exponent of the leading digit
-    if "e" in r or "E" in r:
-        mant, exp_s = r.lower().split("e")
-        exp = int(exp_s)
-        if "." in mant:
-            int_part, frac_part = mant.split(".")
-        else:
-            int_part, frac_part = mant, ""
-        digits = (int_part + frac_part).lstrip("0")
-        lead_exp = exp + len(int_part.lstrip("0")) - 1
-    else:
-        if "." in r:
-            int_part, frac_part = r.split(".")
-        else:
-            int_part, frac_part = r, ""
-        stripped = (int_part + frac_part).lstrip("0")
-        if int_part.lstrip("0"):
-            lead_exp = len(int_part.lstrip("0")) - 1
-        else:
-            # 0.00ddd — count zeros after the decimal point
-            zeros = len(frac_part) - len(frac_part.lstrip("0"))
-            lead_exp = -(zeros + 1)
-        digits = stripped
-    digits = digits.rstrip("0") or "0"
-
-    if -3 <= lead_exp <= 6:
-        if lead_exp >= 0:
-            int_digits = digits[: lead_exp + 1].ljust(lead_exp + 1, "0")
-            frac_digits = digits[lead_exp + 1:] or "0"
-            return sign + int_digits + "." + frac_digits
-        return sign + "0." + "0" * (-lead_exp - 1) + digits
-    frac = digits[1:] or "0"
-    return sign + digits[0] + "." + frac + "E" + str(lead_exp)
+    return jdk8_double_to_string(x)
 
 
 def java_int_or_double(x) -> str:
@@ -71,3 +53,186 @@ def java_int_or_double(x) -> str:
     if isinstance(x, int):
         return str(x)
     return java_double_to_string(x)
+
+
+# ---------------------------------------------------------------------------
+# exact JDK 8 FloatingDecimal emulation (oracle)
+# ---------------------------------------------------------------------------
+
+_EXP_SHIFT = 52
+_FRACT_HOB = 1 << 52
+_EXP_BIAS = 1023
+_MAX_SMALL_BIN_EXP = 62
+_MIN_SMALL_BIN_EXP = -(63 // 3)
+
+
+def _cmp_scaled(F: int, E: int, k: int) -> int:
+    """sign of F*2^E - 10^k, exactly."""
+    a, b = F, 1
+    if E >= 0:
+        a <<= E
+    else:
+        b <<= -E
+    if k >= 0:
+        b *= 10 ** k
+    else:
+        a *= 10 ** (-k)
+    return (a > b) - (a < b)
+
+
+def _floor_log10(F: int, E: int) -> int:
+    """floor(log10(F * 2^E)), exact. Stands in for JDK's estimateDecExp +
+    its q==0 correction branch (the estimate there is never low and at most
+    one high, and the high case is corrected to exactly this value)."""
+    est = int(math.floor(math.log10(F) + E * 0.30102999566398120))
+    while _cmp_scaled(F, E, est) < 0:
+        est -= 1
+    while _cmp_scaled(F, E, est + 1) >= 0:
+        est += 1
+    return est
+
+
+def _develop_long_digits(dec_exponent: int, lvalue: int,
+                         insignificant_digits: int):
+    """FloatingDecimal.developLongDigits: exact digits of a long with
+    sub-ulp digits rounded away, trailing zeros stripped."""
+    if insignificant_digits != 0:
+        pow10 = 10 ** insignificant_digits
+        lvalue, residue = divmod(lvalue, pow10)
+        dec_exponent += insignificant_digits
+        if residue >= (pow10 >> 1):
+            lvalue += 1
+    s = str(lvalue)
+    stripped = s.rstrip("0")
+    return dec_exponent + len(s), stripped
+
+
+def _jdk8_digits(v: float):
+    """(decExponent, digit string) of |v| per JDK 8 FloatingDecimal.dtoa.
+    decExponent is Java's convention: value = 0.digits * 10^decExponent."""
+    bits = struct.unpack("<Q", struct.pack("<d", abs(v)))[0]
+    fract = bits & (_FRACT_HOB - 1)
+    bin_exp = (bits >> _EXP_SHIFT) & 0x7FF
+    if bin_exp == 0:
+        # subnormal: normalize so the HOB lands at bit 52
+        leading_zeros = 64 - fract.bit_length()
+        shift = leading_zeros - (63 - _EXP_SHIFT)
+        fract <<= shift
+        bin_exp = 1 - shift
+        n_significant_bits = 64 - leading_zeros
+    else:
+        fract |= _FRACT_HOB
+        n_significant_bits = _EXP_SHIFT + 1
+    bin_exp -= _EXP_BIAS
+
+    tail_zeros = (fract & -fract).bit_length() - 1
+    n_fract_bits = _EXP_SHIFT + 1 - tail_zeros
+    n_tiny_bits = max(0, n_fract_bits - bin_exp - 1)
+
+    if (_MIN_SMALL_BIN_EXP <= bin_exp <= _MAX_SMALL_BIN_EXP
+            and n_tiny_bits == 0):
+        # integer fast path (dtoa's only live long subcase in JDK 8)
+        if bin_exp > n_significant_bits:
+            p2 = bin_exp - n_significant_bits - 1
+            insignificant = (p2 * 30103) // 100000 if 1 < p2 < 64 else 0
+        else:
+            insignificant = 0
+        if bin_exp >= _EXP_SHIFT:
+            lvalue = fract << (bin_exp - _EXP_SHIFT)
+        else:
+            lvalue = fract >> (_EXP_SHIFT - bin_exp)
+        return _develop_long_digits(0, lvalue, insignificant)
+
+    # Dragon-style big path
+    fract >>= tail_zeros
+    dec_exp = _floor_log10(fract, bin_exp - (n_fract_bits - 1))
+
+    b5 = max(0, -dec_exp)
+    b2 = b5 + n_tiny_bits + bin_exp
+    s5 = max(0, dec_exp)
+    s2 = s5 + n_tiny_bits
+    m5 = b5
+    m2 = b2 - n_significant_bits
+    b2 -= n_fract_bits - 1
+    common2 = min(b2, s2, m2)
+    b2 -= common2
+    s2 -= common2
+    m2 -= common2
+    # JDK's power-of-two hack: the gap below an exact power of two is half
+    # an ulp, so halve M (applied to BOTH bounds — the source of JDK 8's
+    # occasionally non-shortest output)
+    if n_fract_bits == 1:
+        m2 -= 1
+    if m2 < 0:
+        b2 -= m2
+        s2 -= m2
+        m2 = 0
+
+    S = (5 ** s5) << s2
+    B = fract * (5 ** b5) << b2
+    M = (5 ** (m5 + 1)) << (m2 + 1)       # x10 folded in, as in the source
+    ten_s = (5 ** (s5 + 1)) << (s2 + 1)
+
+    digits = []
+    q, r = divmod(B, S)
+    B = r * 10
+    assert 1 <= q <= 9, q  # exact dec_exp: first digit is never 0
+    digits.append(q)
+    low = B < M
+    high = B + M > ten_s
+    if dec_exp < -3 or dec_exp >= 8:
+        # "at least one digit after the point" in E-form output
+        low = high = False
+    while not low and not high:
+        q, r = divmod(B, S)
+        B = r * 10
+        M *= 10
+        low = B < M
+        high = B + M > ten_s
+        digits.append(q)
+
+    dec_exponent = dec_exp + 1
+    if high:
+        if low:
+            b_shift = B << 1
+            round_up = b_shift > ten_s or (b_shift == ten_s and digits[-1] & 1)
+        else:
+            round_up = True
+        if round_up:
+            i = len(digits) - 1
+            while i > 0 and digits[i] == 9:
+                digits[i] = 0
+                i -= 1
+            if i == 0 and digits[0] == 9:
+                dec_exponent += 1
+                digits[0] = 1
+            else:
+                digits[i] += 1
+    return dec_exponent, "".join(str(d) for d in digits)
+
+
+def jdk8_double_to_string(x: float) -> str:
+    """Exact JDK 8 ``Double.toString`` (FloatingDecimal.toJavaFormatString)."""
+    x = float(x)
+    if math.isnan(x):
+        return "NaN"
+    if math.isinf(x):
+        return "Infinity" if x > 0 else "-Infinity"
+    sign = "-" if (x < 0 or (x == 0 and math.copysign(1.0, x) < 0)) else ""
+    if x == 0:
+        return sign + "0.0"
+    return sign + _jdk8_positive(abs(x))
+
+
+@functools.lru_cache(maxsize=1 << 16)
+def _jdk8_positive(x: float) -> str:
+    dec_exponent, digits = _jdk8_digits(x)
+    n = len(digits)
+    if 0 < dec_exponent < 8:
+        if n <= dec_exponent:
+            return digits + "0" * (dec_exponent - n) + ".0"
+        return digits[:dec_exponent] + "." + digits[dec_exponent:]
+    if -3 < dec_exponent <= 0:
+        return "0." + "0" * (-dec_exponent) + digits
+    frac = digits[1:] or "0"
+    return digits[0] + "." + frac + "E" + str(dec_exponent - 1)
