@@ -118,10 +118,10 @@ class Doench2016CFDScore(SingleGuideScoreModel):
         pam = self._pam_table[oc[:, 21], oc[:, 22]]
         score = pam * cand
 
-        if guide.num_ots and self.ATTACH_OT_SCORES:
-            col: List[Optional[str]] = [None] * n
-            for i in np.nonzero(sel)[0].tolist():
-                col[i] = java_double_to_string(score[i])
+        if n:
+            col: List[Optional[str]] = [
+                java_double_to_string(s) if m else None
+                for s, m in zip(score.tolist(), sel.tolist())]
             guide.set_ot_score_col(self.score_name(), col)
 
         counts = (longs >> np.uint64(48)).astype(np.float64)
@@ -135,8 +135,6 @@ class Doench2016CFDScore(SingleGuideScoreModel):
         # CRISPOR-guided threshold at 0.023 (Doench2016CFDScore.scala:83)
         max_out = java_double_to_string(max_score) if max_score >= self._threshold else "0.0"
         return [[max_out], [java_double_to_string(specificity)]]
-
-    ATTACH_OT_SCORES = True
 
     def score_cfd(self, guide: str, ot_string: str) -> float:
         """Doench2016CFDScore.scala:132-151 (scalar wrapper over the table)."""
