@@ -592,10 +592,12 @@ def _add_off_target(guide: GuideWithOffTargets, token: str, maximum_mismatches: 
     pieces = token.split(WITHIN_OFF_TARGET_SEPARATOR)
     seq = pieces[0]
     count = int(pieces[1])
-    if POSITION_LIST_FRONT in pieces[2]:
-        mismatches = int(pieces[2].split(POSITION_LIST_FRONT)[0])
-    else:
-        mismatches = int(pieces[2])
+    # the mismatch field may be terminated by a position block OR (for hits
+    # that came from a positionless file and were then scored) a score
+    # block; the reference crashes on the latter shape its own score module
+    # can emit (TabDelimitedHandler.scala:287-291) — we accept it
+    mismatches = int(pieces[2].split(POSITION_LIST_FRONT)[0]
+                     .split(SCORES_FRONT)[0])
 
     hit: Optional[OffTargetHit] = None
     if mismatches <= maximum_mismatches:

@@ -69,11 +69,33 @@ def main():
     mask = jnp.zeros((1, chunk), jnp.int8).at[0, ::1000].set(1)
     bench_loop("packed_nonzero(8M)", compact, mask, (), chunk)
 
-    fused = S.make_fused_scan(L, n_act, 4, chunk, G, 2, S.DEFAULT_CAP,
-                              S.TRIPLET_CAP, True)
-    codes2 = jnp.concatenate([codes, codes], axis=1)
+    cap = S.DEFAULT_CAP
     goh = jnp.asarray(guide_oh)
     na = jnp.asarray(n_active)
+    cols = jnp.asarray(
+        np.sort(rng.choice(chunk, size=cap, replace=False)).astype(np.int32))
+
+    @jax.jit
+    def col_gather(c, cl):
+        return c[:, cl].astype(jnp.int32).sum()
+    bench_loop("stage2 column gather", lambda c, cl: col_gather(c, cl),
+               codes, (cols,), cap * 32)
+
+    @jax.jit
+    def stage2(c, cl, g, n_a):
+        t_oh = S.codes_onehot_jnp(c[:, cl], L)
+        matches = jax.lax.dot(g.astype(jnp.bfloat16), t_oh,
+                              preferred_element_type=jnp.float32)
+        mm = jnp.minimum(n_a[:, None] - matches, 127)
+        hits2d = (mm.T <= 4)
+        flat, k = S._packed_nonzero(hits2d.reshape(-1), min(S.TRIPLET_CAP, cap * 4))
+        return flat[:1] + k
+    bench_loop("stage2 recount+compact", lambda c, cl, g, n_a: stage2(c, cl, g, n_a),
+               codes, (cols, goh, na), cap * G)
+
+    fused = S.make_fused_scan(L, n_act, 4, chunk, G, 2, cap,
+                              S.TRIPLET_CAP, True)
+    codes2 = jnp.concatenate([codes, codes], axis=1)
 
     @jax.jit
     def fused_once(c, g, n_a):
