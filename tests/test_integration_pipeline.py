@@ -63,6 +63,48 @@ def test_full_pipeline_golden_md5(tmp_path):
 
 
 @pytest.mark.skipif(not os.path.exists(MYC), reason="reference fixture missing")
+def test_cpf1_pipeline_golden_md5(tmp_path):
+    """BASELINE config #4: Cas12a/cpf1 (5' TTTN PAM) index + discover + score
+    end-to-end through the CLI (alternate PAM/orientation path — 5' bin keys,
+    no indexed blocks, 24bp scan length)."""
+    w = str(tmp_path)
+    run(["index", "--reference", MYC, "--database", w + "/db",
+         "--enzyme", "cpf1"])
+    run(["discover", "--fasta", MYC, "--database", w + "/db",
+         "--output", w + "/g.pos.out", "--positionOutput", "--backend", "numpy"])
+    run(["score", "--input", w + "/g.pos.out", "--output", w + "/g.scored",
+         "--scoringMetrics", "dangerous,minot", "--database", w + "/db"])
+    with open(w + "/g.pos.out") as fh:
+        lines = fh.read().splitlines()
+    assert len(lines) == 419  # header + 418 cpf1 sites in myc
+    assert all(line.split("\t")[3].startswith("TTT") for line in lines[1:])
+    assert md5(w + "/g.pos.out") == "dab884707b778f2982ce304eb46527d7"
+    assert md5(w + "/g.scored") == "6274ee9ee14bed408768d4aad06bde37"
+
+
+@pytest.mark.skipif(not os.path.exists(MYC), reason="reference fixture missing")
+def test_bed_annotation_cli_golden_md5(tmp_path):
+    """BASELINE config #2: BED-interval annotation through the score CLI
+    (--inputAnnotationBed name:file), guides discovered with genomic
+    coordinates so intervals genuinely overlap."""
+    w = str(tmp_path)
+    bed = os.path.join(ROOT, "tests", "data", "myc_overlap.bed")
+    run(["index", "--reference", MYC, "--database", w + "/db",
+         "--enzyme", "spcas9"])
+    run(["discover", "--fasta", MYC, "--database", w + "/db",
+         "--output", w + "/m.pos.out", "--positionOutput", "--backend", "numpy"])
+    run(["score", "--input", w + "/m.pos.out", "--output", w + "/m.scored",
+         "--scoringMetrics", "bedannotator",
+         "--inputAnnotationBed", "anno:" + bed, "--database", w + "/db"])
+    with open(w + "/m.scored") as fh:
+        anno = [line.split("\t")[7] for line in fh.read().splitlines()[1:]]
+    assert anno.count("regionA") == 110
+    assert anno.count("regionA,regionB") == 1  # interval-boundary straddle
+    assert anno.count("NA") == 310
+    assert md5(w + "/m.scored") == "b491b9399c23119beacda8cf949ee390"
+
+
+@pytest.mark.skipif(not os.path.exists(MYC), reason="reference fixture missing")
 def test_jax_backend_cli_md5_equal(tmp_path):
     """The jax backend (8-virtual-CPU sharded scan) through the CLI must
     produce a file byte-identical to the numpy oracle backend."""
