@@ -382,32 +382,30 @@ class DeviceScanner:
         blocks = [(g_lo, min(n_guides, g_lo + block))
                   for g_lo in range(0, max(n_guides, 1), block)]
         if self.codes is not None:
-            for g_lo, g_hi in blocks:
-                for t_idx, g_idx, mm in self._scan_guide_block(
-                        g_all[g_lo:g_hi], max_mismatch, stats, block,
-                        self.codes, 0, self.n):
-                    yield t_idx, g_idx + g_lo, mm
+            yield from self._scan_blocks(g_all, blocks, max_mismatch, stats,
+                                         block, self.codes, 0, self.n)
             return
         # streaming: ascending slabs outer so per-guide order is preserved
         for t_lo in range(0, self.n, self.slab_n):
             t_hi = min(self.n, t_lo + self.slab_n)
             codes_d = jax.device_put(
                 plane_codes(self.db.targets[t_lo:t_hi], self.L, self.slab_n))
-            for g_lo, g_hi in blocks:
-                for t_idx, g_idx, mm in self._scan_guide_block(
-                        g_all[g_lo:g_hi], max_mismatch,
-                        stats if t_lo == 0 else None, block,
-                        codes_d, t_lo, t_hi - t_lo):
-                    yield t_idx + t_lo, g_idx + g_lo, mm
+            for t_idx, g_idx, mm in self._scan_blocks(
+                    g_all, blocks, max_mismatch,
+                    stats if t_lo == 0 else None, block,
+                    codes_d, t_lo, t_hi - t_lo):
+                yield t_idx + t_lo, g_idx, mm
             del codes_d
 
-    def _scan_guide_block(self, guide_longs: np.ndarray, max_mismatch: int,
-                          stats, pad_to: int, codes, t_base: int,
-                          n_valid: int) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
-        """One fixed-shape guide block against one resident code array, in a
-        single fused device dispatch. On cap overflow, retry with doubled
-        caps (each size compiles once, persistently cached); after
-        MAX_RETRIES, fall back to the exact host scan."""
+    PIPELINE_DEPTH = 3  # in-flight fused dispatches (double/triple buffering)
+
+    def _dispatch_block(self, guide_longs: np.ndarray, max_mismatch: int,
+                        stats, pad_to: int, codes, n_valid: int):
+        """Launch one fixed-shape guide block asynchronously; returns
+        (device buffer, caps used). jax dispatch is async, so successive
+        blocks queue on the device and device->host fetches of earlier
+        buffers overlap later blocks' compute — this hides the ~25-100 ms
+        tunnel latency per fetch on many-block (10^4-10^5 guide) scans."""
         import jax
         guide_oh, n_active, G = guide_onehot_matrix(guide_longs, self.db.pack,
                                                     pad_to=pad_to)
@@ -417,30 +415,62 @@ class DeviceScanner:
             stats.all_targets_and_positions += int(self.db.pos_offsets[-1])
             stats.dense_comparisons += self.n * G
             stats.all_comparisons += self.n * G
-        guide_oh_d = jax.device_put(guide_oh)
-        n_active_d = jax.device_put(n_active)
+        fused = _fused_scan_jit(self.L, self.n_act, max_mismatch,
+                                self.chunk, guide_oh.shape[0], n_chunks,
+                                self.cap, self.trip_cap, self.use_pallas)
+        buf_d = fused(codes, jax.device_put(guide_oh),
+                      jax.device_put(n_active), np.int32(n_valid))
+        return buf_d, self.cap, self.trip_cap
 
-        for _attempt in range(1 + MAX_RETRIES):
-            fused = _fused_scan_jit(self.L, self.n_act, max_mismatch,
-                                    self.chunk, guide_oh.shape[0], n_chunks,
-                                    self.cap, self.trip_cap, self.use_pallas)
-            buf = np.asarray(fused(codes, guide_oh_d, n_active_d,
-                                   np.int32(n_valid)))  # ONE fetch
-            t_idx, g_idx, mm, count, overflow = parse_trip_buffer(buf)
-            if not overflow and count <= self.trip_cap:
-                if count:
-                    yield t_idx, g_idx, mm
-                return
-            # escalate STICKILY — later guide blocks / repeat scans go
-            # straight to the size that worked — and selectively: growing the
-            # per-chunk column cap also grows every chunk's compaction domain,
-            # so only grow the cap that actually tripped
-            if overflow & 1:
-                self.cap *= 4
-            if (overflow & 2) or count > self.trip_cap:
-                self.trip_cap *= 4
-        yield from self._host_scan(guide_longs, max_mismatch,
-                                   t_base=t_base, n_valid=n_valid)
+    def _scan_blocks(self, g_all: np.ndarray, blocks, max_mismatch: int,
+                     stats, pad_to: int, codes, t_base: int,
+                     n_valid: int) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """All guide blocks against one resident code array, pipelined
+        PIPELINE_DEPTH deep; yields blocks in order (global target-major per
+        guide). On cap overflow, caps escalate STICKILY — the failed block
+        retries synchronously and every later block dispatches straight at
+        the size that worked (each size compiles once, persistently cached);
+        after MAX_RETRIES, that block falls back to the exact host scan."""
+        from collections import deque
+        pending = deque()
+        it = iter(blocks)
+
+        def fill():
+            while len(pending) < self.PIPELINE_DEPTH:
+                nxt = next(it, None)
+                if nxt is None:
+                    return
+                g_lo, g_hi = nxt
+                buf_d, cap, trip_cap = self._dispatch_block(
+                    g_all[g_lo:g_hi], max_mismatch, stats, pad_to, codes,
+                    n_valid)
+                pending.append((g_lo, g_hi, buf_d, trip_cap))
+
+        fill()
+        while pending:
+            g_lo, g_hi, buf_d, trip_cap = pending.popleft()
+            for _attempt in range(1 + MAX_RETRIES):
+                buf = np.asarray(buf_d)  # ONE fetch per block
+                t_idx, g_idx, mm, count, overflow = parse_trip_buffer(buf)
+                if not overflow and count <= trip_cap:
+                    if count:
+                        yield t_idx, g_idx + g_lo, mm
+                    break
+                # grow only the cap that actually tripped (growing the column
+                # cap also grows every chunk's compaction domain)
+                if overflow & 1:
+                    self.cap *= 4
+                if (overflow & 2) or count > trip_cap:
+                    self.trip_cap *= 4
+                buf_d, _, trip_cap = self._dispatch_block(
+                    g_all[g_lo:g_hi], max_mismatch, None, pad_to, codes,
+                    n_valid)
+            else:
+                for t_idx, g_idx, mm in self._host_scan(
+                        g_all[g_lo:g_hi], max_mismatch,
+                        t_base=t_base, n_valid=n_valid):
+                    yield t_idx, g_idx + g_lo, mm
+            fill()
 
     def _host_scan(self, guide_longs, max_mismatch,
                    chunk: int = 1 << 20, t_base: int = 0,
