@@ -230,12 +230,16 @@ def discover(db: Database, guide_sites: DiscoveredSites,
     if len(guides) == 0:
         return guides
 
+    use_numpy = backend == "numpy" or (backend == "auto" and not _tpu_available())
     bmask = None
-    if not force_linear:
+    if not force_linear and use_numpy:
+        # Traversal pruning only pays on the host scan; the device scan is
+        # dense (bin pruning is lossless, so the hit set is identical) and
+        # the (4^w x G) mask would cost O(bins*guides) memory at 10^5 guides.
         bmask = bin_guide_mask(db, guide_longs, max_mismatch)
 
     t0 = time.time()
-    if backend == "numpy" or (backend == "auto" and not _tpu_available()):
+    if use_numpy:
         hit_iter = _scan_numpy(db, guide_longs, max_mismatch, stats, bmask)
     elif _device_count() > 1:
         # multi-chip: database sharded over the mesh's "db" axis, guide batch

@@ -100,6 +100,10 @@ def run_score_module(args) -> None:
             logger.info("adding score: %s", model.score_name())
             model.bit_encoder(bit_enc)
             model.setup()
+            if not args.includeOTs and hasattr(model, "attach_ot_scores"):
+                # per-OT score strings only render under --includeOTs; skip
+                # building millions of them when they cannot reach the output
+                model.attach_ot_scores = False
             models.append(model)
         else:
             logger.error("DROPPING SCORING METHOD: %s; it's not valid over this enzyme",

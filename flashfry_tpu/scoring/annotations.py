@@ -66,6 +66,38 @@ class DangerousSequences(SingleGuideScoreModel):
                 problems[2] = str(in_genome) if self.clean_output else "IN_GENOME=" + str(in_genome)
         return [[p] for p in problems]
 
+    def score_guides(self, guides, bit_enc, pos_enc, pack) -> None:
+        """Batched: one flat mismatch pass for the IN_GENOME counts; GC and
+        PolyT stay per-guide string checks (cheap)."""
+        from .base import flatten_guide_ots
+        if not len(guides):
+            return
+        flat, offsets = flatten_guide_ots(guides)
+        glongs = np.fromiter((g.long_encoding for g in guides),
+                             np.uint64, len(guides))
+        gi = np.repeat(np.arange(len(guides)), np.diff(offsets))
+        mm = self._enc.mismatches(flat, glongs[gi])
+        exact = (flat >> np.uint64(48)).astype(np.int64) * (mm == 0)
+        in_genome = np.bincount(gi, weights=exact.astype(np.float64),
+                                minlength=len(guides)).astype(np.int64).tolist()
+
+        r0, r1 = self._enc.pack.guide_range
+        clean = self.clean_output
+        for i, g in enumerate(guides):
+            problems = ["0", "0", "0"] if clean else ["NONE", "NONE", "NONE"]
+            gc = gc_content(g.bases)
+            if clean:
+                problems[0] = java_double_to_string(gc)
+            elif gc < 0.25 or gc > 0.75:
+                problems[0] = "GC_" + java_double_to_string(gc)
+            if "TTTT" in g.bases[r0:r1]:
+                problems[1] = "1" if clean else "PolyT"
+            if in_genome[i] > 0:
+                problems[2] = (str(in_genome[i]) if clean
+                               else "IN_GENOME=" + str(in_genome[i]))
+            for col, p in zip(self.header_columns(), problems):
+                g.named_annotations[col] = [p]
+
 
 class ClosestHit(SingleGuideScoreModel):
     """Minimum-mismatch off-target summary (ClosestHit.scala:43-76)."""
@@ -112,6 +144,44 @@ class ClosestHit(SingleGuideScoreModel):
         closest = int(pos.min())
         count = int(oc[mm == closest].sum())
         return [[str(closest)], [str(count)], [hist]]
+
+    def score_guides(self, guides, bit_enc, pos_enc, pack) -> None:
+        """Batched: one flat mismatch pass + a (G x 5) histogram bincount;
+        the closest-positive-distance fold runs over small list slices."""
+        from .base import flatten_guide_ots
+        if not len(guides):
+            return
+        K = self.MAX_MM_STORED
+        flat, offsets = flatten_guide_ots(guides)
+        glongs = np.fromiter((g.long_encoding for g in guides),
+                             np.uint64, len(guides))
+        gi = np.repeat(np.arange(len(guides)), np.diff(offsets))
+        mm = self._enc.mismatches(flat, glongs[gi])
+        occ = (flat >> np.uint64(48)).astype(np.int64)
+        in_range = mm <= K
+        hists = np.bincount(
+            (gi[in_range] * (K + 1) + mm[in_range]).astype(np.int64),
+            weights=occ[in_range].astype(np.float64),
+            minlength=len(guides) * (K + 1)).astype(np.int64)
+        hists = hists.reshape(len(guides), K + 1).tolist()
+
+        mmlist = mm.tolist()
+        occlist = occ.tolist()
+        offs = offsets.tolist()
+        cols = self.header_columns()
+        for i, g in enumerate(guides):
+            s, e = offs[i], offs[i + 1]
+            hist = ",".join(str(c) for c in hists[i])
+            seg = mmlist[s:e]
+            pos = [m for m in seg if m > 0]
+            if not pos:
+                vals = ["UNK", "0", hist]
+            else:
+                closest = min(pos)
+                count = sum(o for m, o in zip(seg, occlist[s:e]) if m == closest)
+                vals = [str(closest), str(count), hist]
+            for col, v in zip(cols, vals):
+                g.named_annotations[col] = [v]
 
 
 class BedAnnotation(ScoreModel):

@@ -7,7 +7,9 @@ named_annotations (lists of strings per column) and rendered by targetio.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
 
 from ..bitcoding import BitEncoding
 from ..positions import BitPosition
@@ -15,6 +17,25 @@ from ..standards import ParameterPack
 from ..targetio import GuideWithOffTargets
 
 MISSING_ANNOTATION = "NA"
+
+
+def flatten_guide_ots(guides: Sequence[GuideWithOffTargets]
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+    """Concatenate many guides' columnar OT stores into one flat array.
+
+    Returns (flat_longs uint64[N], offsets int64[G+1]) — guide i's OTs are
+    flat_longs[offsets[i]:offsets[i+1]]. This is what lets the scoring models
+    run their table gathers over ALL guides' off-targets at once instead of
+    paying numpy fixed costs per guide (the reference loops guides one at a
+    time, ScoreModel.scala:113-132; at 10^5 guides x few OTs each that
+    per-call overhead dominates the actual math)."""
+    arrs = [g.ot_arrays()[0] for g in guides]
+    offsets = np.zeros(len(arrs) + 1, dtype=np.int64)
+    np.cumsum(np.fromiter((a.shape[0] for a in arrs), np.int64, len(arrs)),
+              out=offsets[1:])
+    if not len(arrs) or not offsets[-1]:
+        return np.zeros(0, np.uint64), offsets
+    return np.concatenate(arrs).astype(np.uint64, copy=False), offsets
 
 
 class ScoreModel:

@@ -62,6 +62,9 @@ class Doench2016CFDScore(SingleGuideScoreModel):
         d = _load("doench2016cfd.json")
         self._threshold = d["threshold"]
         self._enc = None
+        #: attach per-OT score strings (only rendered under --includeOTs;
+        #: run_score_module clears this when they cannot reach the output)
+        self.attach_ot_scores = True
         # (guide base, ot base, position) activity table; identity = 1.0.
         # key "rX:dY,pos": X = guide base as RNA, Y = complement of the OT
         # base (the Doench table is keyed on the DNA strand the RNA pairs
@@ -101,6 +104,72 @@ class Doench2016CFDScore(SingleGuideScoreModel):
 
     def bit_encoder(self, bit_encoding) -> None:
         self._enc = bit_encoding
+
+    def score_guides(self, guides, bit_enc, pos_enc, pack) -> None:
+        """Batched scoring: ONE table gather + row product over every
+        guide's whole OT set at once (see base.flatten_guide_ots), then a
+        tiny per-guide fold that reproduces score_guide bit-for-bit (the
+        per-guide sums stay Python left-folds to match Scala's List.sum
+        ordering; per-OT products use the identical multiply.reduce)."""
+        from .base import MISSING_ANNOTATION, flatten_guide_ots
+        assert self._enc is not None, "Our bitEncoder has not been set"
+        scorable = []
+        for g in guides:
+            if self.valid_over_target_sequence(pack, g):
+                assert len(g.bases) == 23, \
+                    "We saw an unexpected guide size of %d" % len(g.bases)
+                scorable.append(g)
+            else:
+                for col in self.header_columns():
+                    g.named_annotations[col] = [MISSING_ANNOTATION]
+        if not scorable:
+            return
+        flat, offsets = flatten_guide_ots(scorable)
+        glongs = np.fromiter((g.long_encoding for g in scorable),
+                             np.uint64, len(scorable))
+        gcodes = longs_to_codes(glongs & STRING_MASK, 23)
+        gi = np.repeat(np.arange(len(scorable)), np.diff(offsets))
+
+        slist: List[float] = []
+        sellist: List[bool] = []
+        wlist: List[float] = []
+        pos20 = np.arange(20)[None, :]
+        CH = 1 << 18  # flat chunks: small temporaries get reused by the allocator
+        # (fresh multi-hundred-MB blocks fault in at ~20-60 MB/s here)
+        for lo in range(0, flat.shape[0], CH):
+            hi = min(flat.shape[0], lo + CH)
+            oc = _ot_codes(flat[lo:hi], 23)
+            gext = gcodes[gi[lo:hi], :20]
+            sel = (oc[:, :20] != gext).any(axis=1)
+            vals = self._mm_table[gext, oc[:, :20], pos20]
+            assert not np.isnan(vals[sel]).any(), "Missing CFD table key"
+            cand = np.multiply.reduce(vals, axis=1)
+            score = self._pam_table[oc[:, 21], oc[:, 22]] * cand
+            slist.extend(score.tolist())
+            sellist.extend(sel.tolist())
+            wlist.extend((score * (flat[lo:hi] >> np.uint64(48))
+                          .astype(np.float64)).tolist())
+
+        offs = offsets.tolist()
+        name = self.score_name()
+        for i, g in enumerate(scorable):
+            s, e = offs[i], offs[i + 1]
+            seg_sel = sellist[s:e]
+            if e > s and self.attach_ot_scores:
+                g.set_ot_score_col(name, [
+                    java_double_to_string(v) if m else None
+                    for v, m in zip(slist[s:e], seg_sel)])
+            if True in seg_sel:
+                specificity = 1.0 / (1.0 + sum(
+                    w for w, m in zip(wlist[s:e], seg_sel) if m))
+                max_score = max(v for v, m in zip(slist[s:e], seg_sel) if m)
+            else:
+                specificity, max_score = 1.0, 0.0
+            max_out = (java_double_to_string(max_score)
+                       if max_score >= self._threshold else "0.0")
+            g.named_annotations["DoenchCFD_maxOT"] = [max_out]
+            g.named_annotations["DoenchCFD_specificityscore"] = [
+                java_double_to_string(specificity)]
 
     def score_guide(self, guide) -> List[List[str]]:
         assert len(guide.bases) == 23, "We saw an unexpected guide size of %d" % len(guide.bases)
@@ -188,6 +257,64 @@ class CrisprMitEduOffTarget(SingleGuideScoreModel):
 
     def score_guide(self, guide) -> List[List[str]]:
         return [[java_double_to_string(self.score_crispr(guide))]]
+
+    def score_guides(self, guides, bit_enc, pos_enc, pack) -> None:
+        """Batched: per-OT Hsu scores for every guide's OT set in one
+        vectorized pass (formulas identical to _ot_scores, so per-OT values
+        are bit-identical), then the per-guide aggregate as the same Python
+        left-fold as score_crispr."""
+        from .base import MISSING_ANNOTATION, flatten_guide_ots
+        assert self._enc is not None, "We don't have a valid bit encoding to work with"
+        scorable = []
+        for g in guides:
+            if self.valid_over_target_sequence(pack, g):
+                scorable.append(g)
+            else:
+                for col in self.header_columns():
+                    g.named_annotations[col] = [MISSING_ANNOTATION]
+        if not scorable:
+            return
+        flat, offsets = flatten_guide_ots(scorable)
+        glongs = np.fromiter((g.long_encoding for g in scorable),
+                             np.uint64, len(scorable))
+        gcodes = longs_to_codes(glongs & STRING_MASK, 23)
+        gi = np.repeat(np.arange(len(scorable)), np.diff(offsets))
+
+        slist: List[float] = []
+        keeplist: List[bool] = []
+        GS = self.GUIDE_SIZE
+        CH = 1 << 18
+        for lo in range(0, flat.shape[0], CH):
+            hi = min(flat.shape[0], lo + CH)
+            oc = _ot_codes(flat[lo:hi], 23)
+            M = oc[:, :GS] != gcodes[gi[lo:hi], :GS]
+            mmc = M.sum(axis=1)
+            part_one = np.multiply.reduce(
+                np.where(M, self._one_minus[None, :], 1.0), axis=1)
+            first = np.argmax(M, axis=1)
+            last = (GS - 1) - np.argmax(M[:, ::-1], axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                avg_dist = (last - first) / np.maximum(mmc - 1, 1).astype(np.float64)
+            part_two = np.where(mmc < 2, 1.0,
+                                1.0 / ((((19.0 - avg_dist) / 19.0) * 4.0) + 1.0))
+            mmf = mmc.astype(np.float64)
+            with np.errstate(divide="ignore"):
+                part_three = np.where(mmc == 0, 1.0, 1.0 / (mmf * mmf))
+            total = part_one * part_two * part_three * 100.0
+            pam = self._pam_table[oc[:, self.PAM_START], oc[:, self.PAM_STOP - 1]]
+            slist.extend((total * pam).tolist())
+            if self.consider_on_target:
+                keeplist.extend([True] * (hi - lo))
+            else:
+                mm = self._enc.mismatches(flat[lo:hi], glongs[gi[lo:hi]])
+                keeplist.extend((mm != 0).tolist())
+
+        offs = offsets.tolist()
+        for i, g in enumerate(scorable):
+            s, e = offs[i], offs[i + 1]
+            agg = (100.0 / (100.0 + sum(
+                v for v, m in zip(slist[s:e], keeplist[s:e]) if m))) * 100.0
+            g.named_annotations[self.score_name()] = [java_double_to_string(agg)]
 
     def _ot_scores(self, guide) -> np.ndarray:
         """Per-OT Hsu scores for the whole columnar OT set
@@ -293,6 +420,59 @@ class JostAndSantosCRISPRi(SingleGuideScoreModel):
         if L == CAS9_SCAN_LENGTH_19MER:
             return 0
         raise ValueError("Unable to match parameter pack")
+
+    def score_guides(self, guides, bit_enc, pos_enc, pack) -> None:
+        """Batched (see Doench2016CFDScore.score_guides): one flat table
+        gather + row product, per-guide Python left-fold aggregates."""
+        from .base import MISSING_ANNOTATION, flatten_guide_ots
+        scorable = []
+        for g in guides:
+            if self.valid_over_target_sequence(pack, g):
+                scorable.append(g)
+            else:
+                for col in self.header_columns():
+                    g.named_annotations[col] = [MISSING_ANNOTATION]
+        if not scorable:
+            return
+        L = self._pack.total_scan_length
+        plo = self._lo()
+        flat, offsets = flatten_guide_ots(scorable)
+        glongs = np.fromiter((g.long_encoding for g in scorable),
+                             np.uint64, len(scorable))
+        gcodes = longs_to_codes(glongs & STRING_MASK, L)
+        gi = np.repeat(np.arange(len(scorable)), np.diff(offsets))
+
+        slist: List[float] = []
+        sellist: List[bool] = []
+        wlist: List[float] = []
+        pos19 = np.arange(19)[None, :]
+        CH = 1 << 18
+        for clo in range(0, flat.shape[0], CH):
+            chi = min(flat.shape[0], clo + CH)
+            oc = _ot_codes(flat[clo:chi], L)
+            gext = gcodes[gi[clo:chi], plo:plo + 19]
+            mm = self._enc.mismatches(flat[clo:chi], glongs[gi[clo:chi]])
+            sel = mm > 0
+            vals = self._table[pos19, oc[:, plo:plo + 19], gext]
+            assert not np.isnan(vals[sel]).any(), "Missing Jost&Santos table key"
+            score = np.multiply.reduce(vals, axis=1)
+            slist.extend(score.tolist())
+            sellist.extend(sel.tolist())
+            wlist.extend((score * (flat[clo:chi] >> np.uint64(48))
+                          .astype(np.float64)).tolist())
+
+        offs = offsets.tolist()
+        for i, g in enumerate(scorable):
+            s, e = offs[i], offs[i + 1]
+            seg_sel = sellist[s:e]
+            specificity = 1.0 / (1.0 + sum(
+                w for w, m in zip(wlist[s:e], seg_sel) if m))
+            max_score = (max(v for v, m in zip(slist[s:e], seg_sel) if m)
+                         if True in seg_sel else 0.0)
+            g.named_annotations["JostCRISPRi_maxOT"] = [
+                java_double_to_string(max_score)]
+            g.named_annotations["JostCRISPRi_specificityscore"] = [
+                java_double_to_string(specificity)]
 
     def score_guide(self, guide) -> List[List[str]]:
         L = self._pack.total_scan_length

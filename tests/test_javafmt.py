@@ -90,3 +90,20 @@ def test_layout_rules():
     assert "E" in java_double_to_string(12345678.0)
     assert "E" in java_double_to_string(0.0005) or \
         java_double_to_string(0.0005) == "5.0E-4"
+
+
+def test_small_window_fast_path_fuzz():
+    """The (0, 1e-3) E-form fast path (CFD-score territory) must equal the
+    exact JDK 8 emulation, including products of table fractions and
+    near-power-of-two values."""
+    rng = np.random.default_rng(99)
+    vals = np.concatenate([
+        rng.random(20000) * 1e-3,
+        np.exp(rng.uniform(np.log(1e-300), np.log(1e-3), size=20000)),
+        np.multiply.reduce(rng.random((5000, 8)) * 0.8 + 0.1, axis=1) * 1e-2,
+        np.nextafter(2.0 ** rng.integers(-900, -10, size=5000).astype(float), 0.0),
+        2.0 ** rng.integers(-900, -10, size=2000).astype(np.float64),
+    ])
+    for v in vals.tolist():
+        assert java_double_to_string(v) == jdk8_double_to_string(v), repr(v)
+        assert java_double_to_string(-v) == jdk8_double_to_string(-v), repr(v)

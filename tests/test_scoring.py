@@ -323,3 +323,56 @@ def test_schulze_rank():
     rnk = SchulzeRank(votes)
     assert rnk.index_to_rns[0]["rank"] == 0
     assert rnk.index_to_rns[0]["score"] == 50
+
+
+# ---------------- batched score_guides == per-guide score_guide ----------------
+
+def test_batched_scoring_matches_per_guide():
+    """The cross-guide batched score_guides paths (off_target.py,
+    annotations.py) must reproduce the per-guide score_guide fold
+    byte-for-byte — annotations AND per-OT score columns — on randomized
+    guides with randomized OT sets (including 0-OT and exact-match-only
+    guides)."""
+    from flashfry_tpu.scoring.base import SingleGuideScoreModel
+    enc = BitEncoding(Cas9ParameterPack)
+    pos_enc = BitPosition()
+
+    def build_guides():
+        rng = np.random.default_rng(42)
+
+        def rand_seq(n=23):
+            return "".join("ACGT"[c] for c in rng.integers(0, 4, size=n))
+
+        guides = []
+        for gi in range(40):
+            bases = rand_seq()
+            g = mk_guide(bases, contig="c%d" % gi, start=gi * 31)
+            n_ots = int(rng.integers(0, 12))
+            seqs, counts = [], []
+            if gi % 7 == 0:
+                n_ots = 0                      # empty OT set
+            for _ in range(n_ots):
+                ot = list(bases)
+                for _k in range(int(rng.integers(0, 5))):  # 0 mm = exact match
+                    ot[int(rng.integers(0, 20))] = "ACGT"[int(rng.integers(0, 4))]
+                seqs.append("".join(ot))
+                counts.append(int(rng.integers(1, 5)))
+            if seqs:
+                add_ots(g, seqs, counts)
+            guides.append(g)
+        return guides
+
+    for model_cls in (Doench2016CFDScore, CrisprMitEduOffTarget,
+                      JostAndSantosCRISPRi, ClosestHit, DangerousSequences):
+        a, b = build_guides(), build_guides()
+        m1, m2 = model_cls(), model_cls()
+        for m in (m1, m2):
+            m.valid_over_enzyme(Cas9ParameterPack)
+            m.bit_encoder(enc)
+            m.setup()
+        m1.score_guides(a, enc, pos_enc, Cas9ParameterPack)   # batched
+        SingleGuideScoreModel.score_guides(m2, b, enc, pos_enc,
+                                           Cas9ParameterPack)  # per-guide
+        for ga, gb in zip(a, b):
+            assert ga.named_annotations == gb.named_annotations, model_cls.__name__
+            assert ga.ot_score_cols == gb.ot_score_cols, model_cls.__name__

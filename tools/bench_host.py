@@ -35,8 +35,10 @@ def build_guides(n_guides, n_ots, enc, pos_enc, rng):
     base_map = np.frombuffer(b"ACGT", dtype=np.uint8)
     for gi in range(n_guides):
         bases = bytes(base_map[gcodes[gi]]).decode()
+        # cap above n_ots: guides at exactly the cap are "full" and the score
+        # module's parse filters them out (filter_out_overflowed)
         g = GuideWithOffTargets("chrT", gi * 30, bases, True, None, int(glongs[gi]),
-                                overflow_cap=2000)
+                                overflow_cap=max(2000, n_ots + 1))
         # OTs: guide with up to 4 mutated positions (mismatch <= 4)
         oc = np.repeat(gcodes[gi][None, :], n_ots, axis=0)
         for k in range(4):
