@@ -158,6 +158,9 @@ def scan_contig(sequence_codes: np.ndarray, pack: ParameterPack):
     return fwd, rev
 
 
+FUSED_SCAN_MIN_CONTIGS = 64
+
+
 def find_target_sites(fasta_iter, pack: ParameterPack,
                       flanking_sequence: int = 0,
                       capture_context: bool = False) -> DiscoveredSites:
@@ -167,7 +170,111 @@ def find_target_sites(fasta_iter, pack: ParameterPack,
     utils.iterate_fasta. Site emission order matches the reference: per
     contig, forward sites ascending then reverse sites ascending
     (ReferenceEncoder.scala:121-164).
+
+    Many-record inputs (guide libraries: 10^5 tiny FASTA records) take a
+    fused path — one scan over all contigs joined with (L-1)-base N gaps
+    (N-containing windows are dropped by the pattern semantics, so no
+    cross-contig window can match) — instead of paying per-contig numpy
+    fixed costs. A differential test pins it to the per-contig path.
     """
+    contigs = list(fasta_iter)
+    if len(contigs) >= FUSED_SCAN_MIN_CONTIGS:
+        return _find_target_sites_fused(contigs, pack, flanking_sequence,
+                                        capture_context)
+    return _find_target_sites_percontig(contigs, pack, flanking_sequence,
+                                        capture_context)
+
+
+def _find_target_sites_fused(contigs, pack: ParameterPack,
+                             flanking_sequence: int = 0,
+                             capture_context: bool = False) -> DiscoveredSites:
+    """One scan over all contigs joined with (L-1)-byte \\x00 gaps.
+
+    \\x00 codes to 255 (invalid) so any window touching a gap is dropped by
+    the ACGT-only window rule — exactly the per-contig semantics, without the
+    per-record numpy fixed costs. Hits are mapped back to (contig, local
+    position) and re-emitted in the reference's order: per contig, forward
+    ascending then reverse ascending (ReferenceEncoder.scala:121-164).
+    """
+    L = pack.total_scan_length
+    gap = L - 1
+    bitpos = BitPosition()
+
+    names: List[str] = []
+    parts: List[bytes] = []
+    for name, seq in contigs:
+        bitpos.add_reference(name)
+        names.append(name)
+        parts.append(seq.encode("ascii"))
+    lengths = np.array([len(p) for p in parts], dtype=np.int64)
+    raw = np.frombuffer((b"\x00" * gap).join(parts), dtype=np.uint8)
+    codes = _BASE_LUT[raw]
+
+    # contig i occupies fused [offsets[i], offsets[i] + lengths[i])
+    offsets = np.zeros(len(parts), dtype=np.int64)
+    if len(parts) > 1:
+        offsets[1:] = np.cumsum(lengths[:-1] + gap)
+    cids = np.array([bitpos.contig_map[n] for n in names], dtype=np.int64)
+
+    fwd_pats, rev_pats = _pam_window_patterns(pack)
+    fwd_g = _scan_codes(codes, fwd_pats, L)
+    rev_g = _scan_codes(codes, rev_pats, L)
+    n_f, n_r = fwd_g.size, rev_g.size
+
+    starts_g = np.concatenate([fwd_g, rev_g])
+    cidx = np.searchsorted(offsets, starts_g, side="right") - 1
+    local = starts_g - offsets[cidx]
+    strand = np.concatenate([np.zeros(n_f, dtype=np.int8),
+                             np.ones(n_r, dtype=np.int8)])
+
+    count_one = np.uint64(1) << np.uint64(48)
+    longs = np.concatenate([
+        _pack_from_starts(codes, fwd_g, L, False),
+        _pack_from_starts(codes, rev_g, L, True),
+    ]) | count_one
+
+    # reference emission order: (contig, strand fwd-first, position)
+    order = np.lexsort((local, strand, cidx))
+
+    contexts: Optional[List[Optional[str]]] = None
+    bases_accum: Optional[List[str]] = None
+    if capture_context:
+        windows = _extract_windows(codes, fwd_g.astype(np.int64), L)
+        rev_windows = _extract_windows(codes, rev_g.astype(np.int64), L)
+        rev_windows = (3 - rev_windows)[:, ::-1]
+        bases_pre = codes_to_strings(windows) + codes_to_strings(rev_windows)
+        bases_accum = [bases_pre[i] for i in order]
+
+        flank = flanking_sequence
+        full = L + 2 * flank
+        valid = (local >= flank) & (local + L + flank <= lengths[cidx])
+        ctx_pre: List[Optional[str]] = [None] * starts_g.size
+        vidx = np.nonzero(valid)[0]
+        if vidx.size:
+            ctx_rows = raw[(starts_g[vidx] - flank)[:, None]
+                           + np.arange(full)[None, :]]
+            blob = ctx_rows.tobytes().decode("ascii")
+            from .utils import reverse_comp_string
+            for k, i in enumerate(vidx):
+                ctx = blob[k * full: (k + 1) * full]
+                ctx_pre[i] = ctx if strand[i] == 0 else reverse_comp_string(ctx)
+        contexts = [ctx_pre[i] for i in order]
+
+    return DiscoveredSites(
+        pack=pack,
+        bit_position=bitpos,
+        contig_ids=cids[cidx][order],
+        positions=local[order],
+        forward=(strand == 0)[order],
+        sequences=longs[order],
+        contexts=contexts,
+        bases_list=bases_accum,
+    )
+
+
+def _find_target_sites_percontig(fasta_iter, pack: ParameterPack,
+                                 flanking_sequence: int = 0,
+                                 capture_context: bool = False) -> DiscoveredSites:
     L = pack.total_scan_length
     bitpos = BitPosition()
 

@@ -168,6 +168,63 @@ def test_reference_dict_reader(tmp_path):
     assert bp.contig_map["chr1"] == 1
 
 
+def _random_library(rng, n_records, pack):
+    """Random tiny FASTA records seeded with real sites, N bases, and
+    contig-edge sites to stress the fused path's boundary handling."""
+    bases = np.array(list("ACGT"))
+    records = []
+    for i in range(n_records):
+        n = int(rng.integers(pack.total_scan_length - 2, 60))
+        seq = "".join(bases[rng.integers(0, 4, size=n)])
+        r = rng.random()
+        if r < 0.15:  # splice an N somewhere
+            k = int(rng.integers(0, max(1, len(seq))))
+            seq = seq[:k] + "N" + seq[k + 1:]
+        elif r < 0.3:  # force a PAM at the very end (edge site)
+            pam = pack.pam[0]
+            if pack.five_prime_pam:
+                seq = pam.replace("N", "A") + seq[len(pam):]
+            else:
+                seq = seq[:-len(pam)] + pam.replace("N", "G")
+        records.append(("rec%05d" % i, seq))
+    return records
+
+
+def test_fused_scan_matches_percontig():
+    """The >=64-record fused scan is a pure optimization: byte-identical
+    columns and contexts vs the per-contig oracle, for 3' and 5' PAM packs."""
+    from flashfry_tpu.discovery import (_find_target_sites_fused,
+                                        _find_target_sites_percontig)
+    rng = np.random.default_rng(11)
+    for pack in (Cas9NGGParameterPack, Cpf1ParameterPack):
+        records = _random_library(rng, 200, pack)
+        a = _find_target_sites_percontig(iter(records), pack,
+                                         flanking_sequence=6,
+                                         capture_context=True)
+        b = _find_target_sites_fused(records, pack,
+                                     flanking_sequence=6,
+                                     capture_context=True)
+        assert len(a) == len(b) > 100
+        np.testing.assert_array_equal(a.contig_ids, b.contig_ids)
+        np.testing.assert_array_equal(a.positions, b.positions)
+        np.testing.assert_array_equal(a.forward, b.forward)
+        np.testing.assert_array_equal(a.sequences, b.sequences)
+        assert a.contexts == b.contexts
+        assert a.bases() == b.bases()
+        assert a.contig_names == b.contig_names
+
+
+def test_fused_scan_no_context():
+    from flashfry_tpu.discovery import (_find_target_sites_fused,
+                                        _find_target_sites_percontig)
+    rng = np.random.default_rng(12)
+    records = _random_library(rng, 80, Cas9NGGParameterPack)
+    a = _find_target_sites_percontig(iter(records), Cas9NGGParameterPack)
+    b = _find_target_sites_fused(records, Cas9NGGParameterPack)
+    np.testing.assert_array_equal(a.sequences, b.sequences)
+    np.testing.assert_array_equal(a.position_longs(), b.position_longs())
+
+
 def test_scan_stats_targets_and_positions():
     from flashfry_tpu.database import build_database_from_sites
     from flashfry_tpu.engine import ScanStats, discover
