@@ -95,11 +95,17 @@ def split_words(longs: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return lo, hi
 
 
+PAD_CODE = 4  # padding-column base code: matches no one-hot row, never hits
+
+
 def plane_codes(longs: np.ndarray, L: int, n_pad: Optional[int] = None) -> np.ndarray:
     """Packed int64 targets -> (32, N_pad) int8 plane-major base codes.
 
-    Row i holds base i (0..3) of every target; rows >= L are zero. This is
-    the HBM-resident database layout (see module docstring)."""
+    Row i holds base i (0..3) of every target; rows >= L are zero. Padding
+    COLUMNS (targets beyond n) hold PAD_CODE everywhere: their one-hot
+    expansion is all-zero, so they can never reach the stage-1 threshold —
+    which lets the fused scan skip a whole per-chunk validity-mask pass.
+    This is the HBM-resident database layout (see module docstring)."""
     seq = np.asarray(longs, dtype=np.uint64) & STRING_MASK
     n = seq.shape[0]
     if n_pad is None:
@@ -108,6 +114,7 @@ def plane_codes(longs: np.ndarray, L: int, n_pad: Optional[int] = None) -> np.nd
     for i in range(L):
         s = np.uint64(2 * (L - 1 - i))
         out[i, :n] = ((seq >> s) & np.uint64(3)).astype(np.int8)
+    out[:, n:] = PAD_CODE
     return out
 
 
@@ -237,17 +244,18 @@ def make_fused_scan(L: int, n_act: int, max_mm: int, chunk: int, g_rows: int,
     width = trip_cap + block_cap + 2
 
     def f(codes_full, guide_oh, n_active, n_targets):
+        from .scan_kernel import guide_block_layout
         guide_bf = guide_oh.astype(jnp.bfloat16)                   # (G, 4L)
-        guide_i8 = jnp.zeros((g_rows, 128), jnp.int8)
-        guide_i8 = guide_i8.at[:, :4 * L].set(guide_oh.astype(jnp.int8))
+        guide_i8 = guide_block_layout(guide_oh, L)                 # (G, 128)
 
         def body(c, carry):
             count, col_of, trip_of, buf = carry
             start = c * chunk
             codes_chunk = jax.lax.dynamic_slice_in_dim(codes_full, start,
                                                        chunk, axis=1)
+            # padding columns hold PAD_CODE (all-zero one-hot) so they can
+            # never hit: no (idx < n_targets) mask pass is needed
             hit = stage1(codes_chunk, guide_i8, guide_bf)          # (chunk,)
-            hit = hit & ((start + jnp.arange(chunk)) < n_targets)
             cols, n_cols = _packed_nonzero(hit, col_cap)
             # exact mismatch counts for the hit columns
             t_oh = codes_onehot_jnp(codes_chunk[:, cols], L)       # (4L, cap)

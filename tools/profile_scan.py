@@ -56,8 +56,8 @@ def main():
 
     targets = rng.integers(0, 2 ** 46, size=chunk, dtype=np.uint64)
     codes = jnp.asarray(S.plane_codes(targets, L))
-    guide_i8 = jnp.zeros((G, 128), jnp.int8).at[:, :4 * L].set(
-        jnp.asarray(guide_oh, jnp.int8))
+    from flashfry_tpu.ops.scan_kernel import guide_block_layout
+    guide_i8 = guide_block_layout(jnp.asarray(guide_oh), L)
 
     inner = stage1_pallas(n_act, 4, chunk, G)
     bench_loop("stage1 pallas", inner, codes, (guide_i8,), chunk * G)
