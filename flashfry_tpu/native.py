@@ -73,6 +73,10 @@ def _build_lib() -> Optional[ctypes.CDLL]:
         c_char_p, i64p, i64, i64p, i64, i32, c_char_p, i64p, i64,
         u64p, u8p, i64, u64p, i64p, i64, i64p,
         i64p, i64p, i64p, i64, i64p]
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.ff_segment_fold_f64.restype = None
+    lib.ff_segment_fold_f64.argtypes = [f64p, f64p, u8p, i64p, i64,
+                                        f64p, f64p, u8p]
     return lib
 
 
@@ -303,3 +307,29 @@ def group_sorted(sorted_vals: np.ndarray) -> Optional[Tuple[np.ndarray, np.ndarr
     g = lib.ff_group_sorted(_ptr(sorted_vals, ctypes.c_uint64), n,
                             _ptr(uniq, ctypes.c_uint64), _ptr(counts, ctypes.c_int64))
     return uniq[:g].copy(), counts[:g].copy()
+
+
+def segment_fold(vals: np.ndarray, weights: np.ndarray, mask: np.ndarray,
+                 offsets: np.ndarray):
+    """Masked per-segment LEFT-FOLD sum of weights + max of vals.
+
+    Returns (sums f64[S], maxs f64[S], any u8[S]) or None without the
+    native lib. Strict left-to-right accumulation — bit-identical to the
+    reference's Scala List.sum aggregation (see ff_segment_fold_f64)."""
+    lib = get_native()
+    if lib is None:
+        return None
+    vals = np.ascontiguousarray(vals, dtype=np.float64)
+    weights = np.ascontiguousarray(weights, dtype=np.float64)
+    mask = np.ascontiguousarray(mask, dtype=np.uint8)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    n_seg = offsets.shape[0] - 1
+    sums = np.empty(n_seg, dtype=np.float64)
+    maxs = np.empty(n_seg, dtype=np.float64)
+    anys = np.empty(n_seg, dtype=np.uint8)
+    lib.ff_segment_fold_f64(
+        _ptr(vals, ctypes.c_double), _ptr(weights, ctypes.c_double),
+        _ptr(mask, ctypes.c_uint8), _ptr(offsets, ctypes.c_int64), n_seg,
+        _ptr(sums, ctypes.c_double), _ptr(maxs, ctypes.c_double),
+        _ptr(anys, ctypes.c_uint8))
+    return sums, maxs, anys

@@ -239,8 +239,11 @@ def make_fused_scan(L: int, n_act: int, max_mm: int, chunk: int, g_rows: int,
     # per-chunk triplet block size: nonzero packs real hits first, so the
     # block is appended with one contiguous dynamic_update_slice (TPU scatter
     # lowering is slow; DUS is a plain copy). The buffer is over-allocated by
-    # a block so the append window never clamps.
-    block_cap = min(trip_cap, col_cap * 4)
+    # a block so the append window never clamps. 2x the column cap (not 4x):
+    # hit columns almost always match a single guide, the pair-compaction
+    # pass costs ~0.9 ms/chunk per block_cap doubling (measured v5e), and a
+    # rare k > block_cap chunk just escalates caps like any other overflow.
+    block_cap = min(trip_cap, col_cap * 2)
     width = trip_cap + block_cap + 2
 
     def f(codes_full, guide_oh, n_active, n_targets):

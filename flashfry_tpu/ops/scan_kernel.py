@@ -55,6 +55,11 @@ def _stage1_kernel(thr: int, code_ref, guide_ref, out_ref):
     matches = jnp.dot(guide_ref[:], t_oh, preferred_element_type=jnp.int32)  # (G, T)
     # scalar threshold: any(mm <= k) == max_g(matches) >= |active| - k, which
     # saves a whole (G, T) compare pass vs thresholding before reducing
+    # NOTE: emitting per-tile hit counts from this kernel was tried and
+    # abandoned: Mosaic rejects sub-128-lane dynamic stores ("cannot
+    # statically prove index is a multiple of 128") and a (1, T)x(T, k)
+    # indicator matmul wastes 127/128 of the MXU on the M=1 row — both
+    # cost more than the ~1.2 ms/chunk count pass they would save.
     out_ref[:] = (jnp.max(matches, axis=0, keepdims=True) >= thr).astype(jnp.int8)
 
 

@@ -38,6 +38,52 @@ def flatten_guide_ots(guides: Sequence[GuideWithOffTargets]
     return np.concatenate(arrs).astype(np.uint64, copy=False), offsets
 
 
+def fold_sum(values) -> float:
+    """Naive left-fold float sum — Scala List.sum semantics.
+
+    NOT builtins.sum: since CPython 3.12, sum() over floats uses Neumaier
+    compensated summation, which can differ from the JVM's sequential
+    foldLeft in the last ulp and break byte-parity of formatted scores
+    (Doench2016CFDScore.scala:79, CrisprMitEduOffTarget.scala:103)."""
+    acc = 0.0
+    for v in values:
+        acc += v
+    return acc
+
+
+def segment_fold(vals: np.ndarray, weights: np.ndarray, mask: np.ndarray,
+                 offsets: np.ndarray):
+    """Masked per-segment LEFT-FOLD sum of weights + running max of vals.
+
+    Returns (sums f64[G], maxs f64[G], any u8[G]). Strict left-to-right
+    accumulation is the parity contract: the reference aggregates per-OT
+    scores with Scala's List.sum (a sequential fold), and the formatted
+    doubles depend on its last-ulp behavior — numpy's pairwise reductions
+    would diverge. Uses the native OpenMP kernel when available
+    (native/flashfry_native.cpp::ff_segment_fold_f64), else the identical
+    Python fold."""
+    from .. import native as _native
+    r = _native.segment_fold(vals, weights, mask, offsets)
+    if r is not None:
+        return r
+    n = offsets.shape[0] - 1
+    sums = np.zeros(n, dtype=np.float64)
+    maxs = np.zeros(n, dtype=np.float64)
+    anys = np.zeros(n, dtype=np.uint8)
+    vl, wl, ml = vals.tolist(), weights.tolist(), mask.tolist()
+    off = offsets.tolist()
+    for i in range(n):
+        acc, mx, seen = 0.0, 0.0, False
+        for j in range(off[i], off[i + 1]):
+            if ml[j]:
+                acc += wl[j]
+                if not seen or vl[j] > mx:
+                    mx = vl[j]
+                seen = True
+        sums[i], maxs[i], anys[i] = acc, mx, seen
+    return sums, maxs, anys
+
+
 class ScoreModel:
     """Interface for all scoring metrics (ScoreModel.scala:31-89)."""
 

@@ -30,7 +30,7 @@ from ..bitcoding import STRING_MASK, longs_to_codes, strings_to_codes
 from ..javafmt import java_double_to_string
 from ..standards import (CAS9_SCAN_LENGTH_19MER, CAS9_SCAN_LENGTH_20MER,
                          ParameterPack)
-from .base import SingleGuideScoreModel
+from .base import SingleGuideScoreModel, fold_sum
 
 _DATA = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
 
@@ -130,14 +130,15 @@ class Doench2016CFDScore(SingleGuideScoreModel):
         gcodes = longs_to_codes(glongs & STRING_MASK, 23)
         gi = np.repeat(np.arange(len(scorable)), np.diff(offsets))
 
-        slist: List[float] = []
-        sellist: List[bool] = []
-        wlist: List[float] = []
+        n_flat = flat.shape[0]
+        score_a = np.empty(n_flat, dtype=np.float64)
+        sel_a = np.empty(n_flat, dtype=np.uint8)
+        w_a = np.empty(n_flat, dtype=np.float64)
         pos20 = np.arange(20)[None, :]
         CH = 1 << 18  # flat chunks: small temporaries get reused by the allocator
         # (fresh multi-hundred-MB blocks fault in at ~20-60 MB/s here)
-        for lo in range(0, flat.shape[0], CH):
-            hi = min(flat.shape[0], lo + CH)
+        for lo in range(0, n_flat, CH):
+            hi = min(n_flat, lo + CH)
             oc = _ot_codes(flat[lo:hi], 23)
             gext = gcodes[gi[lo:hi], :20]
             sel = (oc[:, :20] != gext).any(axis=1)
@@ -145,24 +146,26 @@ class Doench2016CFDScore(SingleGuideScoreModel):
             assert not np.isnan(vals[sel]).any(), "Missing CFD table key"
             cand = np.multiply.reduce(vals, axis=1)
             score = self._pam_table[oc[:, 21], oc[:, 22]] * cand
-            slist.extend(score.tolist())
-            sellist.extend(sel.tolist())
-            wlist.extend((score * (flat[lo:hi] >> np.uint64(48))
-                          .astype(np.float64)).tolist())
+            score_a[lo:hi] = score
+            sel_a[lo:hi] = sel
+            w_a[lo:hi] = score * (flat[lo:hi] >> np.uint64(48)).astype(np.float64)
 
+        from .base import segment_fold
+        sums, maxs, anys = segment_fold(score_a, w_a, sel_a, offsets)
+        sums_l, maxs_l, anys_l = sums.tolist(), maxs.tolist(), anys.tolist()
         offs = offsets.tolist()
         name = self.score_name()
         for i, g in enumerate(scorable):
-            s, e = offs[i], offs[i + 1]
-            seg_sel = sellist[s:e]
-            if e > s and self.attach_ot_scores:
-                g.set_ot_score_col(name, [
-                    java_double_to_string(v) if m else None
-                    for v, m in zip(slist[s:e], seg_sel)])
-            if True in seg_sel:
-                specificity = 1.0 / (1.0 + sum(
-                    w for w, m in zip(wlist[s:e], seg_sel) if m))
-                max_score = max(v for v, m in zip(slist[s:e], seg_sel) if m)
+            if self.attach_ot_scores:
+                s, e = offs[i], offs[i + 1]
+                if e > s:
+                    g.set_ot_score_col(name, [
+                        java_double_to_string(v) if m else None
+                        for v, m in zip(score_a[s:e].tolist(),
+                                        sel_a[s:e].tolist())])
+            if anys_l[i]:
+                specificity = 1.0 / (1.0 + sums_l[i])
+                max_score = maxs_l[i]
             else:
                 specificity, max_score = 1.0, 0.0
             max_out = (java_double_to_string(max_score)
@@ -196,7 +199,7 @@ class Doench2016CFDScore(SingleGuideScoreModel):
         counts = (longs >> np.uint64(48)).astype(np.float64)
         weighted = score * counts
         if sel.any():
-            specificity = 1.0 / (1.0 + sum(weighted[sel].tolist()))
+            specificity = 1.0 / (1.0 + fold_sum(weighted[sel].tolist()))
             max_score = float(score[sel].max())
         else:
             specificity = 1.0
@@ -280,12 +283,13 @@ class CrisprMitEduOffTarget(SingleGuideScoreModel):
         gcodes = longs_to_codes(glongs & STRING_MASK, 23)
         gi = np.repeat(np.arange(len(scorable)), np.diff(offsets))
 
-        slist: List[float] = []
-        keeplist: List[bool] = []
+        n_flat = flat.shape[0]
+        score_a = np.empty(n_flat, dtype=np.float64)
+        keep_a = np.empty(n_flat, dtype=np.uint8)
         GS = self.GUIDE_SIZE
         CH = 1 << 18
-        for lo in range(0, flat.shape[0], CH):
-            hi = min(flat.shape[0], lo + CH)
+        for lo in range(0, n_flat, CH):
+            hi = min(n_flat, lo + CH)
             oc = _ot_codes(flat[lo:hi], 23)
             M = oc[:, :GS] != gcodes[gi[lo:hi], :GS]
             mmc = M.sum(axis=1)
@@ -302,19 +306,19 @@ class CrisprMitEduOffTarget(SingleGuideScoreModel):
                 part_three = np.where(mmc == 0, 1.0, 1.0 / (mmf * mmf))
             total = part_one * part_two * part_three * 100.0
             pam = self._pam_table[oc[:, self.PAM_START], oc[:, self.PAM_STOP - 1]]
-            slist.extend((total * pam).tolist())
+            score_a[lo:hi] = total * pam
             if self.consider_on_target:
-                keeplist.extend([True] * (hi - lo))
+                keep_a[lo:hi] = 1
             else:
                 mm = self._enc.mismatches(flat[lo:hi], glongs[gi[lo:hi]])
-                keeplist.extend((mm != 0).tolist())
+                keep_a[lo:hi] = mm != 0
 
-        offs = offsets.tolist()
-        for i, g in enumerate(scorable):
-            s, e = offs[i], offs[i + 1]
-            agg = (100.0 / (100.0 + sum(
-                v for v, m in zip(slist[s:e], keeplist[s:e]) if m))) * 100.0
-            g.named_annotations[self.score_name()] = [java_double_to_string(agg)]
+        from .base import segment_fold
+        sums, _, _ = segment_fold(score_a, score_a, keep_a, offsets)
+        name = self.score_name()
+        for g, total in zip(scorable, sums.tolist()):
+            agg = (100.0 / (100.0 + total)) * 100.0
+            g.named_annotations[name] = [java_double_to_string(agg)]
 
     def _ot_scores(self, guide) -> np.ndarray:
         """Per-OT Hsu scores for the whole columnar OT set
@@ -346,7 +350,7 @@ class CrisprMitEduOffTarget(SingleGuideScoreModel):
         if not self.consider_on_target:
             mm = self._enc.mismatches(np.uint64(guide.long_encoding), longs)
             scores = scores[mm != 0]
-        return (100.0 / (100.0 + sum(scores.tolist()))) * 100.0
+        return (100.0 / (100.0 + fold_sum(scores.tolist()))) * 100.0
 
     def score_off_target(self, guide, ot) -> float:
         """Scalar wrapper (tests): one OffTargetHit record."""
@@ -442,13 +446,14 @@ class JostAndSantosCRISPRi(SingleGuideScoreModel):
         gcodes = longs_to_codes(glongs & STRING_MASK, L)
         gi = np.repeat(np.arange(len(scorable)), np.diff(offsets))
 
-        slist: List[float] = []
-        sellist: List[bool] = []
-        wlist: List[float] = []
+        n_flat = flat.shape[0]
+        score_a = np.empty(n_flat, dtype=np.float64)
+        sel_a = np.empty(n_flat, dtype=np.uint8)
+        w_a = np.empty(n_flat, dtype=np.float64)
         pos19 = np.arange(19)[None, :]
         CH = 1 << 18
-        for clo in range(0, flat.shape[0], CH):
-            chi = min(flat.shape[0], clo + CH)
+        for clo in range(0, n_flat, CH):
+            chi = min(n_flat, clo + CH)
             oc = _ot_codes(flat[clo:chi], L)
             gext = gcodes[gi[clo:chi], plo:plo + 19]
             mm = self._enc.mismatches(flat[clo:chi], glongs[gi[clo:chi]])
@@ -456,23 +461,18 @@ class JostAndSantosCRISPRi(SingleGuideScoreModel):
             vals = self._table[pos19, oc[:, plo:plo + 19], gext]
             assert not np.isnan(vals[sel]).any(), "Missing Jost&Santos table key"
             score = np.multiply.reduce(vals, axis=1)
-            slist.extend(score.tolist())
-            sellist.extend(sel.tolist())
-            wlist.extend((score * (flat[clo:chi] >> np.uint64(48))
-                          .astype(np.float64)).tolist())
+            score_a[clo:chi] = score
+            sel_a[clo:chi] = sel
+            w_a[clo:chi] = score * (flat[clo:chi] >> np.uint64(48)).astype(np.float64)
 
-        offs = offsets.tolist()
-        for i, g in enumerate(scorable):
-            s, e = offs[i], offs[i + 1]
-            seg_sel = sellist[s:e]
-            specificity = 1.0 / (1.0 + sum(
-                w for w, m in zip(wlist[s:e], seg_sel) if m))
-            max_score = (max(v for v, m in zip(slist[s:e], seg_sel) if m)
-                         if True in seg_sel else 0.0)
+        from .base import segment_fold
+        sums, maxs, anys = segment_fold(score_a, w_a, sel_a, offsets)
+        for g, total, mx, any_ in zip(scorable, sums.tolist(), maxs.tolist(),
+                                      anys.tolist()):
             g.named_annotations["JostCRISPRi_maxOT"] = [
-                java_double_to_string(max_score)]
+                java_double_to_string(mx if any_ else 0.0)]
             g.named_annotations["JostCRISPRi_specificityscore"] = [
-                java_double_to_string(specificity)]
+                java_double_to_string(1.0 / (1.0 + total))]
 
     def score_guide(self, guide) -> List[List[str]]:
         L = self._pack.total_scan_length
@@ -488,7 +488,7 @@ class JostAndSantosCRISPRi(SingleGuideScoreModel):
         score = np.multiply.reduce(vals, axis=1)
         counts = (longs >> np.uint64(48)).astype(np.float64)
         weighted = (score * counts)[sel]
-        specificity = 1.0 / (1.0 + sum(weighted.tolist()))
+        specificity = 1.0 / (1.0 + fold_sum(weighted.tolist()))
         max_score = float(score[sel].max()) if sel.any() else 0.0
         return [[java_double_to_string(max_score)],
                 [java_double_to_string(specificity)]]

@@ -454,4 +454,39 @@ int64_t ff_parse_ot_tokens(
     return nh;
 }
 
+// Masked per-segment left-fold sum and max over double arrays.
+//
+// For each segment s (offsets[s]..offsets[s+1]): out_sum[s] = strict
+// left-to-right sum of weights[i] where mask[i], out_max[s] = max of
+// vals[i] where mask[i] (0 if none selected), out_any[s] = 1 iff any
+// selected. The LEFT-FOLD order is the contract: the reference aggregates
+// per-OT scores with Scala List.sum (Doench2016CFDScore.scala:79,
+// CrisprMitEduOffTarget.scala:103), a sequential fold whose last-ulp
+// behavior the formatted output depends on; numpy's pairwise reductions
+// would diverge.
+void ff_segment_fold_f64(const double* vals, const double* weights,
+                         const uint8_t* mask, const int64_t* offsets,
+                         int64_t n_segments,
+                         double* out_sum, double* out_max,
+                         uint8_t* out_any) {
+    #ifdef _OPENMP
+    #pragma omp parallel for schedule(static)
+    #endif
+    for (int64_t s = 0; s < n_segments; ++s) {
+        double acc = 0.0;
+        double mx = 0.0;
+        uint8_t any = 0;
+        for (int64_t i = offsets[s]; i < offsets[s + 1]; ++i) {
+            if (mask[i]) {
+                acc += weights[i];
+                if (!any || vals[i] > mx) mx = vals[i];
+                any = 1;
+            }
+        }
+        out_sum[s] = acc;
+        out_max[s] = mx;
+        out_any[s] = any;
+    }
+}
+
 }  // extern "C"

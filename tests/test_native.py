@@ -87,3 +87,54 @@ def test_group_sorted():
     np.testing.assert_array_equal(counts, want_counts)
     u0, c0 = native.group_sorted(np.zeros(0, dtype=np.uint64))
     assert u0.size == 0 and c0.size == 0
+
+
+def test_segment_fold_native_matches_python():
+    """ff_segment_fold_f64 must be BIT-identical to the Python left fold —
+    the score columns' byte parity rides on it."""
+    import numpy as np
+    from flashfry_tpu import native
+    from flashfry_tpu.scoring import base
+
+    if native.get_native() is None:
+        import pytest
+        pytest.skip("native lib unavailable")
+
+    rng = np.random.default_rng(9)
+    n = 50_000
+    # mix magnitudes so naive-vs-compensated summation would differ
+    vals = np.exp(rng.normal(0, 6, size=n))
+    weights = vals * rng.integers(1, 5, size=n)
+    mask = (rng.random(n) < 0.7).astype(np.uint8)
+    cuts = np.sort(rng.choice(n, size=999, replace=False))
+    offsets = np.concatenate([[0], cuts, [n]]).astype(np.int64)
+
+    ns, nm, na = native.segment_fold(vals, weights, mask, offsets)
+    # force the Python fallback through the same helper
+    orig = native.segment_fold
+    try:
+        native.segment_fold = lambda *a: None
+        ps, pm, pa = base.segment_fold(vals, weights, mask, offsets)
+    finally:
+        native.segment_fold = orig
+    assert ns.tobytes() == ps.tobytes()
+    assert nm.tobytes() == pm.tobytes()
+    assert (na == pa).all()
+
+
+def test_fold_sum_is_scala_left_fold_not_builtin_sum():
+    """CPython >= 3.12 builtins.sum compensates float error (Neumaier); the
+    reference's Scala List.sum is a naive foldLeft. fold_sum must match the
+    fold, and this input is a witness where the two differ."""
+    from flashfry_tpu.scoring.base import fold_sum
+    vals = [2.0, 0.004227855778759992, 0.04425669742768371]
+    acc = 0.0
+    for v in vals:
+        acc += v
+    assert fold_sum(vals) == acc
+    big = [1e16, 1.0, -1e16, 1.0] * 10
+    acc = 0.0
+    for v in big:
+        acc += v
+    assert fold_sum(big) == acc
+    assert sum(big) != acc  # builtins.sum compensates; the JVM does not
