@@ -81,7 +81,10 @@ def _add_random(sub):
 
 def _add_extract(sub):
     p = sub.add_parser("extract", help="Dump targets from the database to a FASTA")
-    p.add_argument("--database", "-database", required=True)
+    # reference flag name is -binaryOTFile/--binaryOTFile
+    # (modules/DumpDatabase.scala:33-35); --database kept as an alias.
+    p.add_argument("--binaryOTFile", "-binaryOTFile", "--database", "-database",
+                   dest="database", required=True)
     p.add_argument("--outputFile", "-outputFile", required=True)
     p.add_argument("--minInGenome", "-minInGenome", type=int, default=0)
     p.add_argument("--maxInGenome", "-maxInGenome", type=int, default=2 ** 31 - 1)

@@ -71,6 +71,25 @@ def bin_guide_mask(db: Database, guide_longs: np.ndarray, max_mismatch: int) -> 
     return mm <= max_mismatch
 
 
+def pruned_comparisons(db: Database, guide_longs: np.ndarray,
+                       max_mismatch: int, guide_chunk: int = 4096) -> int:
+    """FlashFry-equivalent comparison count: each guide is compared only
+    against the targets of bins whose prefix is within max_mismatch of the
+    guide's (Traverser.scala:66-74 counts post-pruning comparisons; the
+    pruning predicate is OrderedBinTraversalFactory.scala:146-173 /
+    LinearTraversal.scala:82-97 — both traversals prune). Equals the sum the
+    masked numpy scan accumulates; computed here in O(bins x G) host time,
+    chunked over guides so a 10^5-guide batch never materializes a
+    (4^w x G) mask at once."""
+    counts = db.bin_target_counts().astype(np.int64)
+    g = np.asarray(guide_longs, dtype=np.uint64)
+    total = 0
+    for lo in range(0, g.shape[0], guide_chunk):
+        m = bin_guide_mask(db, g[lo:lo + guide_chunk], max_mismatch)
+        total += int(counts @ m.sum(axis=1, dtype=np.int64))
+    return total
+
+
 def _scan_numpy(db: Database, guide_longs: np.ndarray, max_mismatch: int,
                 stats: ScanStats, bin_mask: Optional[np.ndarray],
                 chunk: int = 1 << 20):
@@ -250,6 +269,15 @@ def discover(db: Database, guide_sites: DiscoveredSites,
         from .ops.scan import scan_database_jax
         hit_iter = scan_database_jax(db, guide_longs, max_mismatch, stats, bmask)
     _collect_hits(db, guides, hit_iter)
+    if not use_numpy:
+        # Device scanners are dense (pruning is lossless, so the hit set is
+        # identical) and track only dense_comparisons; the logged
+        # all_comparisons must carry the reference's post-pruning semantics
+        # (Traverser.scala:66-74, OffTargetDiscovery.scala:137). With
+        # --forceLinear the numpy path skips the bin mask; mirror that.
+        stats.all_comparisons = (
+            stats.dense_comparisons if force_linear
+            else pruned_comparisons(db, guide_longs, max_mismatch))
     stats.scan_seconds = time.time() - t0
     return guides
 

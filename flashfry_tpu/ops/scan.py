@@ -218,6 +218,12 @@ def make_fused_scan(L: int, n_act: int, max_mm: int, chunk: int, g_rows: int,
     col_cap: max stage-1 hit targets per chunk; trip_cap: max total triplets.
     If either overflows, the overflow flag is set and the caller retries with
     larger caps.
+
+    CONTRACT: codes_full's padding columns (beyond the real target count)
+    MUST hold PAD_CODE, as plane_codes produces. Their one-hot expansion is
+    all-zero so they can never reach the stage-1 threshold; there is no
+    validity-mask pass and a zero-padded (poly-A-looking) code array would
+    emit phantom hits.
     """
     import jax
     import jax.numpy as jnp
@@ -246,7 +252,7 @@ def make_fused_scan(L: int, n_act: int, max_mm: int, chunk: int, g_rows: int,
     block_cap = min(trip_cap, col_cap * 2)
     width = trip_cap + block_cap + 2
 
-    def f(codes_full, guide_oh, n_active, n_targets):
+    def f(codes_full, guide_oh, n_active):
         from .scan_kernel import guide_block_layout
         guide_bf = guide_oh.astype(jnp.bfloat16)                   # (G, 4L)
         guide_i8 = guide_block_layout(guide_oh, L)                 # (G, 128)
@@ -411,7 +417,7 @@ class DeviceScanner:
     PIPELINE_DEPTH = 3  # in-flight fused dispatches (double/triple buffering)
 
     def _dispatch_block(self, guide_longs: np.ndarray, max_mismatch: int,
-                        stats, pad_to: int, codes, n_valid: int):
+                        stats, pad_to: int, codes):
         """Launch one fixed-shape guide block asynchronously; returns
         (device buffer, caps used). jax dispatch is async, so successive
         blocks queue on the device and device->host fetches of earlier
@@ -422,15 +428,16 @@ class DeviceScanner:
                                                     pad_to=pad_to)
         n_chunks = codes.shape[1] // self.chunk
         if stats is not None and G:
+            # all_comparisons (the FlashFry-equivalent pruned count) is set by
+            # the caller (engine.discover via engine.pruned_comparisons); the
+            # scanner only tracks the raw work it performs.
             stats.all_targets += self.n
             stats.all_targets_and_positions += int(self.db.pos_offsets[-1])
             stats.dense_comparisons += self.n * G
-            stats.all_comparisons += self.n * G
         fused = _fused_scan_jit(self.L, self.n_act, max_mismatch,
                                 self.chunk, guide_oh.shape[0], n_chunks,
                                 self.cap, self.trip_cap, self.use_pallas)
-        buf_d = fused(codes, jax.device_put(guide_oh),
-                      jax.device_put(n_active), np.int32(n_valid))
+        buf_d = fused(codes, jax.device_put(guide_oh), jax.device_put(n_active))
         return buf_d, self.cap, self.trip_cap
 
     def _scan_blocks(self, g_all: np.ndarray, blocks, max_mismatch: int,
@@ -453,8 +460,7 @@ class DeviceScanner:
                     return
                 g_lo, g_hi = nxt
                 buf_d, cap, trip_cap = self._dispatch_block(
-                    g_all[g_lo:g_hi], max_mismatch, stats, pad_to, codes,
-                    n_valid)
+                    g_all[g_lo:g_hi], max_mismatch, stats, pad_to, codes)
                 pending.append((g_lo, g_hi, buf_d, trip_cap))
 
         fill()
@@ -473,9 +479,10 @@ class DeviceScanner:
                     self.cap *= 4
                 if (overflow & 2) or count > trip_cap:
                     self.trip_cap *= 4
+                if _attempt == MAX_RETRIES:
+                    continue  # out of retries: fall through to the host scan
                 buf_d, _, trip_cap = self._dispatch_block(
-                    g_all[g_lo:g_hi], max_mismatch, None, pad_to, codes,
-                    n_valid)
+                    g_all[g_lo:g_hi], max_mismatch, None, pad_to, codes)
             else:
                 for t_idx, g_idx, mm in self._host_scan(
                         g_all[g_lo:g_hi], max_mismatch,

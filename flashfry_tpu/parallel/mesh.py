@@ -184,19 +184,16 @@ class ShardedScanner:
         local = make_fused_scan(self.L, self.n_act, max_mismatch, self.chunk,
                                 g_rows // self.Gx, self.shard_n // self.chunk,
                                 col_cap, trip_cap, self.use_pallas)
-        shard_n = self.shard_n
-        D = self.D
 
-        def wrapped(codes_local, guide_oh_local, n_active_local, n_targets):
-            # this shard owns global targets [s*shard_n, (s+1)*shard_n)
-            s = jax.lax.axis_index("db")
-            local_valid = jnp.clip(n_targets - s * shard_n, 0, shard_n)
-            buf = local(codes_local, guide_oh_local, n_active_local, local_valid)
+        def wrapped(codes_local, guide_oh_local, n_active_local):
+            # this shard owns global targets [s*shard_n, (s+1)*shard_n);
+            # padding columns hold PAD_CODE so no validity mask is needed
+            buf = local(codes_local, guide_oh_local, n_active_local)
             return buf[None, None]
 
         step = shard_map(
             wrapped, mesh=self.mesh,
-            in_specs=(P(None, "db"), P("guides", None), P("guides"), P()),
+            in_specs=(P(None, "db"), P("guides", None), P("guides")),
             out_specs=P("db", "guides", None, None),
             check_vma=False,
         )
@@ -204,69 +201,112 @@ class ShardedScanner:
         self._step_cache[key] = jitted
         return jitted
 
+    PIPELINE_DEPTH = 3  # in-flight sharded dispatches (mirrors DeviceScanner)
+
+    def _record(self, kind: str, block: int) -> None:
+        """Dispatch/fetch instrumentation: tests set self._events = [] and
+        assert later blocks dispatch before earlier blocks fetch (i.e. the
+        pipeline really keeps device work in flight across guide blocks)."""
+        ev = getattr(self, "_events", None)
+        if ev is not None:
+            ev.append((kind, block))
+
     def scan(self, guide_longs: np.ndarray, max_mismatch: int,
              bin_mask=None, stats=None):
         """Yield (target_idx, guide_idx, mm) in global target-major order per
-        guide (DeviceScanner.scan interface)."""
-        import jax
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        from ..ops.scan import guide_onehot_matrix, parse_trip_buffer
+        guide (DeviceScanner.scan interface).
+
+        Guide blocks are pipelined PIPELINE_DEPTH deep, exactly like the
+        single-device path (ops/scan.py _scan_blocks): dispatch is async, so
+        later blocks' sharded compute overlaps earlier blocks' device->host
+        fetch (each fetch costs ~25-100 ms of tunnel latency on the remote
+        chip). On cap overflow only the failed block retries; caps escalate
+        stickily so later blocks dispatch straight at the size that worked."""
+        from collections import deque
 
         g_all = np.asarray(guide_longs, dtype=np.uint64)
         n_guides = g_all.shape[0]
         block = 128 * self.Gx
         while block < n_guides and block < 1024 * self.Gx:
             block *= 2
-        for g_lo in range(0, max(n_guides, 1), block):
-            g_hi = min(n_guides, g_lo + block)
-            for t_idx, g_idx, mm in self._scan_guide_block(
-                    g_all[g_lo:g_hi], max_mismatch, stats, block):
-                yield t_idx, g_idx + g_lo, mm
+        blocks = [(g_lo, min(n_guides, g_lo + block))
+                  for g_lo in range(0, max(n_guides, 1), block)]
+        pending = deque()
+        it = iter(blocks)
 
-    def _scan_guide_block(self, guide_longs, max_mismatch, stats, pad_to):
+        def fill():
+            while len(pending) < self.PIPELINE_DEPTH:
+                nxt = next(it, None)
+                if nxt is None:
+                    return
+                g_lo, g_hi = nxt
+                self._record("dispatch", g_lo)
+                out_d, trip_cap = self._dispatch(g_all[g_lo:g_hi], max_mismatch,
+                                                 stats, block)
+                pending.append((g_lo, g_hi, out_d, trip_cap))
+
+        fill()
+        while pending:
+            g_lo, g_hi, out_d, trip_cap = pending.popleft()
+            self._record("fetch", g_lo)
+            for t_idx, g_idx, mm in self._collect_block(
+                    g_all[g_lo:g_hi], max_mismatch, block, out_d, trip_cap):
+                yield t_idx, g_idx + g_lo, mm
+            fill()
+
+    def _dispatch(self, guide_longs, max_mismatch, stats, pad_to):
+        """Launch one guide block asynchronously over the mesh; returns
+        (global device buffer, trip_cap used)."""
         from jax.sharding import PartitionSpec as P
-        from ..ops.scan import guide_onehot_matrix, parse_trip_buffer, MAX_RETRIES
+        from ..ops.scan import guide_onehot_matrix
 
         guide_oh, n_active, G = guide_onehot_matrix(guide_longs, self.db.pack,
                                                     pad_to=pad_to)
-        g_rows = guide_oh.shape[0]
-        g_local = g_rows // self.Gx
         if stats is not None and G:
+            # all_comparisons (pruned-equivalent) is set by engine.discover
             stats.all_targets += self.n
             stats.all_targets_and_positions += int(self.db.pos_offsets[-1])
             stats.dense_comparisons += self.n * G
-            stats.all_comparisons += self.n * G
         goh_d = self._make_global(guide_oh, P("guides", None))
         na_d = self._make_global(n_active, P("guides"))
+        step = self._step(max_mismatch, guide_oh.shape[0], self.cap,
+                          self.trip_cap)
+        return step(self.codes, goh_d, na_d), self.trip_cap
 
+    def _collect_block(self, guide_longs, max_mismatch, pad_to, out_d,
+                       trip_cap):
+        """Fetch + merge one guide block's sharded buffers; on cap overflow
+        re-dispatch just this block at escalated caps."""
+        from ..ops.scan import parse_trip_buffer, MAX_RETRIES
+
+        g_local = pad_to // self.Gx
         for _attempt in range(1 + MAX_RETRIES):
-            step = self._step(max_mismatch, g_rows, self.cap, self.trip_cap)
-            out = self._fetch(step(self.codes, goh_d, na_d, np.int32(self.n)))
+            out = self._fetch(out_d)
             parsed = [[parse_trip_buffer(out[s, q]) for q in range(self.Gx)]
                       for s in range(self.D)]
             col_of = any(p[4] & 1 for row in parsed for p in row)
-            trip_of = any((p[4] & 2) or p[3] > self.trip_cap
+            trip_of = any((p[4] & 2) or p[3] > trip_cap
                           for row in parsed for p in row)
-            if col_of or trip_of:
-                # sticky + selective escalation (see DeviceScanner)
-                if col_of:
-                    self.cap *= 4
-                if trip_of:
-                    self.trip_cap *= 4
-                continue
-            # merge: db shards in ascending order preserve global target order;
-            # within a target, guide sub-blocks ascend
-            per_guide_chunks = []
-            for s in range(self.D):
-                base_t = s * self.shard_n
-                for q in range(self.Gx):
-                    t_idx, g_idx, mm, count, _ = parsed[s][q]
-                    if count:
-                        per_guide_chunks.append((t_idx + base_t,
-                                                 g_idx + q * g_local, mm))
-            yield from iter(per_guide_chunks)
-            return
-        # exact host fallback
+            if not (col_of or trip_of):
+                # merge: db shards in ascending order preserve global target
+                # order; within a target, guide sub-blocks ascend
+                for s in range(self.D):
+                    base_t = s * self.shard_n
+                    for q in range(self.Gx):
+                        t_idx, g_idx, mm, count, _ = parsed[s][q]
+                        if count:
+                            yield (t_idx + base_t, g_idx + q * g_local, mm)
+                return
+            # sticky + selective escalation (see DeviceScanner)
+            if col_of:
+                self.cap *= 4
+            if trip_of:
+                self.trip_cap *= 4
+            if _attempt == MAX_RETRIES:
+                break  # out of retries: exact host fallback below
+            out_d, trip_cap = self._dispatch(guide_longs, max_mismatch, None,
+                                             pad_to)
+        # exact host fallback (this guide block only)
         from ..bitcoding import BitEncoding
         enc = BitEncoding(self.db.pack)
         g = np.asarray(guide_longs, dtype=np.uint64)

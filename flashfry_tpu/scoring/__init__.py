@@ -100,7 +100,7 @@ def run_score_module(args) -> None:
             logger.info("adding score: %s", model.score_name())
             model.bit_encoder(bit_enc)
             model.setup()
-            if not args.includeOTs and hasattr(model, "attach_ot_scores"):
+            if not args.includeOTs:
                 # per-OT score strings only render under --includeOTs; skip
                 # building millions of them when they cannot reach the output
                 model.attach_ot_scores = False

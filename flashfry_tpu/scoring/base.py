@@ -91,6 +91,10 @@ class ScoreModel:
     high_score_is_good: Optional[bool] = None
     #: True for models implementing the reference's AggregateScore trait
     is_aggregate: bool = False
+    #: attach per-OT score strings where the model supports them (only
+    #: rendered under --includeOTs; run_score_module clears this uniformly
+    #: when they cannot reach the output)
+    attach_ot_scores: bool = True
 
     def score_name(self) -> str:
         raise NotImplementedError

@@ -62,9 +62,6 @@ class Doench2016CFDScore(SingleGuideScoreModel):
         d = _load("doench2016cfd.json")
         self._threshold = d["threshold"]
         self._enc = None
-        #: attach per-OT score strings (only rendered under --includeOTs;
-        #: run_score_module clears this when they cannot reach the output)
-        self.attach_ot_scores = True
         # (guide base, ot base, position) activity table; identity = 1.0.
         # key "rX:dY,pos": X = guide base as RNA, Y = complement of the OT
         # base (the Doench table is keyed on the DNA strand the RNA pairs

@@ -115,6 +115,13 @@ def test_extract_roundtrip(tmp_path):
     seqs2 = [l for l in open(out2).read().strip().split("\n") if l and not l.startswith(">")]
     assert len(seqs2) < len(seqs)
 
+    # the reference spells the database flag -binaryOTFile
+    # (modules/DumpDatabase.scala:33-35); both spellings must work
+    for flag in ("-binaryOTFile", "--binaryOTFile"):
+        out3 = str(tmp_path / "dump3.fasta")
+        run_cli("extract", flag, db, "--outputFile", out3)
+        assert open(out3).read() == open(out).read()
+
 
 def test_random_guides(tmp_path):
     out = str(tmp_path / "rand.fasta")

@@ -109,6 +109,63 @@ def test_sharded_step_compiled_once_across_guide_blocks(monkeypatch):
     g1 = db.targets[rng.choice(db.num_targets, size=40, replace=False)]
     g2 = db.targets[rng.choice(db.num_targets, size=40, replace=False)]
     for block in (g1, g2):
-        for _ in scanner._scan_guide_block(block, 4, None, 128):
+        for _ in scanner.scan(block, 4):
             pass
     assert len(builds) == 1, "same-shape guide blocks must share one executable"
+
+
+def test_sharded_scan_pipelines_guide_blocks():
+    """Later guide blocks must DISPATCH before earlier blocks' results are
+    fetched (the PIPELINE_DEPTH-deep pipeline that hides per-fetch tunnel
+    latency), and the pipelined output must equal the numpy oracle."""
+    from flashfry_tpu.engine import ScanStats, _scan_numpy
+
+    db, _ = _db(Cas9NGGParameterPack, seed=33)
+    rng = np.random.default_rng(5)
+    scanner = ShardedScanner(db, mesh=make_mesh(8), use_pallas=False,
+                             chunk=1 << 12)
+    # blocks grow up to 1024*Gx=2048 guides; 2500 guides -> 2 blocks
+    n_g = 2500
+    guides = db.targets[rng.choice(db.num_targets, size=n_g, replace=True)]
+    scanner._events = []
+    got = [(int(t), int(g), int(m))
+           for ts, gs, ms in scanner.scan(guides, 4)
+           for t, g, m in zip(ts, gs, ms)]
+
+    ev = scanner._events
+    dispatches = [b for kind, b in ev if kind == "dispatch"]
+    assert len(dispatches) >= 2, "expected multiple guide blocks"
+    first_fetch = ev.index(("fetch", dispatches[0]))
+    n_before = sum(1 for kind, b in ev[:first_fetch] if kind == "dispatch")
+    assert n_before >= 2, \
+        "second guide block must be dispatched before the first fetch: %r" % ev
+
+    want = [(int(t), int(g), int(m))
+            for ts, gs, ms in _scan_numpy(db, guides, 4, ScanStats(), None)
+            for t, g, m in zip(ts, gs, ms)]
+    assert sorted(got) == sorted(want)
+    # per-guide global target-major order (the overflow-cap contract)
+    per_guide = {}
+    for t, g, m in got:
+        per_guide.setdefault(g, []).append(t)
+    for g, ts in per_guide.items():
+        assert ts == sorted(ts)
+
+
+def test_device_counter_matches_numpy_pruned_semantics():
+    """discover's logged all_comparisons must carry the reference's
+    post-pruning semantics (Traverser.scala:66-74) on every backend."""
+    from flashfry_tpu.discovery import find_target_sites
+    from flashfry_tpu.engine import ScanStats, discover
+
+    db, genome = _db(Cas9NGGParameterPack, seed=37)
+    fa = [("q", genome[:20_000])]
+    stats = {}
+    for backend in ("numpy", "jax"):
+        st = ScanStats()
+        gs = find_target_sites(iter(fa), Cas9NGGParameterPack,
+                               capture_context=True)
+        discover(db, gs, max_mismatch=3, backend=backend, stats=st)
+        stats[backend] = st
+    assert stats["jax"].all_comparisons == stats["numpy"].all_comparisons
+    assert stats["jax"].all_comparisons < stats["jax"].dense_comparisons
