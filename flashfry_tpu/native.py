@@ -77,6 +77,8 @@ def _build_lib() -> Optional[ctypes.CDLL]:
     lib.ff_segment_fold_f64.restype = None
     lib.ff_segment_fold_f64.argtypes = [f64p, f64p, u8p, i64p, i64,
                                         f64p, f64p, u8p]
+    lib.ff_rnafold_mfe_batch.restype = i64
+    lib.ff_rnafold_mfe_batch.argtypes = [i32p, u8p, i64p, i64, i32, i32p]
     return lib
 
 
@@ -307,6 +309,28 @@ def group_sorted(sorted_vals: np.ndarray) -> Optional[Tuple[np.ndarray, np.ndarr
     g = lib.ff_group_sorted(_ptr(sorted_vals, ctypes.c_uint64), n,
                             _ptr(uniq, ctypes.c_uint64), _ptr(counts, ctypes.c_int64))
     return uniq[:g].copy(), counts[:g].copy()
+
+
+def rnafold_mfe_batch(params_blob: np.ndarray, seq_codes: np.ndarray,
+                      offsets: np.ndarray, dangles: int) -> Optional[np.ndarray]:
+    """Batch RNA MFE fold over the native Zuker DP. seq_codes: concatenated
+    0=N,1=A,2=C,3=G,4=U codes; offsets: (n+1,) int64 bounds. Returns energies
+    in 10 cal/mol (int32) or None (caller uses the Python fold)."""
+    lib = get_native()
+    if lib is None:
+        return None
+    params_blob = np.ascontiguousarray(params_blob, dtype=np.int32)
+    seq_codes = np.ascontiguousarray(seq_codes, dtype=np.uint8)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    n = offsets.shape[0] - 1
+    out = np.empty(n, dtype=np.int32)
+    rc = lib.ff_rnafold_mfe_batch(
+        _ptr(params_blob, ctypes.c_int32), _ptr(seq_codes, ctypes.c_uint8),
+        _ptr(offsets, ctypes.c_int64), n, dangles,
+        _ptr(out, ctypes.c_int32))
+    if rc != 0:
+        return None
+    return out
 
 
 def segment_fold(vals: np.ndarray, weights: np.ndarray, mask: np.ndarray,

@@ -176,7 +176,10 @@ def _hairpin_energy(i: int, j: int, t: int, s, rna: str) -> int:
     size = j - i - 1
     e = _size_extrapolate(_HAIRPIN, size)
     if size == 4:
-        e += _TETRALOOPS.get(rna[i:i + 6], 0)
+        # the tetraloop 6-mer starts at the 5' closing base (1-based i ->
+        # 0-based i-1), as in ViennaRNA 1.8.x HairpinE
+        # (strncpy(tl, string+i-1, 6))
+        e += _TETRALOOPS.get(rna[i - 1:i + 5], 0)
     if size == 3:
         if t > 2:
             e += _TERMINAL_AU
@@ -363,6 +366,63 @@ def fold_mfe(sequence: str, dangles: int = 1) -> float:
     return f5[n] / 100.0
 
 
+_RF_MAGIC = 0x52464031  # "RF@1" — must match native/flashfry_native.cpp
+_params_blob_cache = None
+
+
+def _params_blob():
+    """All energy parameters as one flat int32 blob for the native fold
+    (ff_rnafold_mfe_batch). Field order must match rnafold::parse_params in
+    native/flashfry_native.cpp; this module stays the source of truth for
+    every constant."""
+    global _params_blob_cache
+    if _params_blob_cache is not None:
+        return _params_blob_cache
+    import numpy as np
+    tabs = _load_int_tables()
+    tetra = []
+    for seq, bonus in _TETRALOOPS.items():
+        tetra.extend([_BASE[ch] for ch in seq] + [bonus])
+    head = [_RF_MAGIC, _TERMINAL_AU, _ML_CLOSING, _ML_INTERN, _ML_BASE,
+            _NINIO, _MAX_NINIO, int(_LXC * 1e6), len(_TETRALOOPS), 0]
+    parts = [head]
+    for tab in (_STACK, _HAIRPIN, _BULGE, _INTERNAL, _MISMATCH_H, _MISMATCH_I,
+                _DANGLE5, _DANGLE3, tabs["int11"], tabs["int21"], tabs["int22"]):
+        parts.append(np.asarray(tab, dtype=np.int64).ravel())
+    parts.append(tetra)
+    _params_blob_cache = np.concatenate(
+        [np.asarray(p, dtype=np.int32) for p in parts])
+    return _params_blob_cache
+
+
+def fold_mfe_batch(sequences: List[str], dangles: int = 1) -> List[float]:
+    """MFE of many sequences: native batch DP (OpenMP; ~100x the pure-Python
+    fold) with exact-duplicate memoization, falling back to fold_mfe per
+    sequence when the native library is unavailable."""
+    import numpy as np
+    from ..native import rnafold_mfe_batch
+
+    uniq: dict = {}
+    for seq in sequences:
+        uniq.setdefault(seq.upper().replace("T", "U"), None)
+    keys = list(uniq)
+    out = None
+    if keys:
+        codes = np.concatenate([
+            np.array([_BASE.get(ch, 0) for ch in k], dtype=np.uint8)
+            if k else np.empty(0, dtype=np.uint8) for k in keys])
+        offsets = np.zeros(len(keys) + 1, dtype=np.int64)
+        np.cumsum([len(k) for k in keys], out=offsets[1:])
+        out = rnafold_mfe_batch(_params_blob(), codes, offsets, dangles)
+    if out is not None:
+        for k, e in zip(keys, out):
+            uniq[k] = e / 100.0
+    else:
+        for k in keys:
+            uniq[k] = fold_mfe(k, dangles)
+    return [uniq[seq.upper().replace("T", "U")] for seq in sequences]
+
+
 class RNAFold4j(SingleGuideScoreModel):
     """`folding` metric: guide free energy at each length from smallest_guide
     up to the full guide (RNAFold4j.scala:28-127)."""
@@ -405,3 +465,17 @@ class RNAFold4j(SingleGuideScoreModel):
             seq = guide.bases[start:stop]
             out.append([java_double_to_string(fold_mfe(seq))])
         return out
+
+    def score_guides(self, guides, bit_enc, pos_enc, pack) -> None:
+        """Batched scoring: ONE native fold call over every (guide, length)
+        slice (the per-guide path costs ~1 ms/guide in Python; the reference
+        loops scoreSequence per guide per length, RNAFold4j.scala:61-74)."""
+        seqs = [g.bases[start:stop] for g in guides
+                for _, start, stop in self._length_positions]
+        energies = fold_mfe_batch(seqs)
+        cols = self.header_columns()
+        k = 0
+        for g in guides:
+            for col in cols:
+                g.named_annotations[col] = [java_double_to_string(energies[k])]
+                k += 1

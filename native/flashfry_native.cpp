@@ -9,6 +9,7 @@
 // Base codes: A=0 C=1 G=2 T=3, 255 = invalid (N etc).
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <string>
@@ -487,6 +488,329 @@ void ff_segment_fold_f64(const double* vals, const double* weights,
         out_max[s] = mx;
         out_any[s] = any;
     }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// RNA MFE folding (Zuker DP over the Turner-1999 / ViennaRNA-1.8.x model)
+// ---------------------------------------------------------------------------
+//
+// Native port of scoring/rnafold.py::fold_mfe (which is the golden-tested
+// source of truth; the energy tables are passed in as one flat int32 blob
+// built by _params_blob() so the two implementations can never drift on
+// constants). Covers the reference's `folding` metric (RNAFold4j.scala:61-74)
+// at batch scale: ~1 ms/guide in pure Python vs ~10 us here, OpenMP-parallel
+// over sequences.
+
+namespace rnafold {
+
+constexpr int INF_E = 10000000;
+constexpr int MAXLOOP = 30;
+constexpr int MAXN = 64;
+constexpr int RF_MAGIC = 0x52464031;  // "RF@1"
+
+struct Params {
+    int32_t term_au, ml_closing, ml_intern, ml_base, ninio, max_ninio, n_tetra;
+    double lxc;
+    const int32_t *stack, *hairpin, *bulge, *internal_, *mmh, *mmi, *d5, *d3;
+    const int32_t *int11, *int21, *int22, *tetra;
+};
+
+inline bool parse_params(const int32_t* q, Params* P) {
+    if (q[0] != RF_MAGIC) return false;
+    P->term_au = q[1]; P->ml_closing = q[2]; P->ml_intern = q[3];
+    P->ml_base = q[4]; P->ninio = q[5]; P->max_ninio = q[6];
+    P->lxc = q[7] / 1e6;
+    P->n_tetra = q[8];
+    const int32_t* cur = q + 10;
+    P->stack = cur;     cur += 7 * 7;
+    P->hairpin = cur;   cur += 31;
+    P->bulge = cur;     cur += 31;
+    P->internal_ = cur; cur += 31;
+    P->mmh = cur;       cur += 7 * 5 * 5;
+    P->mmi = cur;       cur += 7 * 5 * 5;
+    P->d5 = cur;        cur += 7 * 5;
+    P->d3 = cur;        cur += 7 * 5;
+    // int tables are 8x8 in pair type (ViennaRNA NBPAIRS+1, incl. the
+    // unused "non-standard" type 7), matching data/rnafold_int.json
+    P->int11 = cur;     cur += 8 * 8 * 5 * 5;
+    P->int21 = cur;     cur += 8 * 8 * 5 * 5 * 5;
+    P->int22 = cur;     cur += 8 * 8 * 5 * 5 * 5 * 5;
+    P->tetra = cur;     // n_tetra * 7 (6 base codes + bonus)
+    return true;
+}
+
+const int RTYPE[7] = {0, 2, 1, 4, 3, 6, 5};
+
+inline int extrap(const int32_t* tab, int size, const Params& P) {
+    if (size <= MAXLOOP) return tab[size];
+    return tab[MAXLOOP] + (int)(P.lxc * std::log(size / 30.0));
+}
+
+// hairpin closed by 1-based pair (i, j) of type t
+inline int hairpinE(int i, int j, int t, const uint8_t* s, const Params& P) {
+    int size = j - i - 1;
+    int e = extrap(P.hairpin, size, P);
+    if (size == 4) {
+        // tetraloop 6-mer starts at the 5' closing base: s[i..i+5]
+        for (int k = 0; k < P.n_tetra; ++k) {
+            const int32_t* ent = P.tetra + k * 7;
+            bool m = true;
+            for (int b = 0; b < 6; ++b)
+                if (ent[b] != (int32_t)s[i + b]) { m = false; break; }
+            if (m) { e += ent[6]; break; }
+        }
+    }
+    if (size == 3) {
+        if (t > 2) e += P.term_au;
+    } else {
+        e += P.mmh[(t * 5 + s[i + 1]) * 5 + s[j - 1]];
+    }
+    return e;
+}
+
+// stack/bulge/interior between pair of type t and inner pair of REVERSED
+// type t2; n1/n2 unpaired 5'/3'; si1..sq1 = mismatch bases
+inline int loopE(int n1, int n2, int t, int t2, int si1, int sj1, int sp1,
+                 int sq1, const Params& P) {
+    int nl = n1 > n2 ? n1 : n2, ns = n1 > n2 ? n2 : n1;
+    if (nl == 0) return P.stack[t * 7 + t2];
+    if (ns == 0) {  // bulge
+        int e = extrap(P.bulge, nl, P);
+        if (nl == 1) e += P.stack[t * 7 + t2];
+        else {
+            if (t > 2) e += P.term_au;
+            if (t2 > 2) e += P.term_au;
+        }
+        return e;
+    }
+    if (ns == 1) {
+        if (nl == 1) return P.int11[((t * 8 + t2) * 5 + si1) * 5 + sj1];
+        if (nl == 2) {
+            if (n1 == 1)
+                return P.int21[(((t * 8 + t2) * 5 + si1) * 5 + sq1) * 5 + sj1];
+            return P.int21[(((t2 * 8 + t) * 5 + sq1) * 5 + si1) * 5 + sp1];
+        }
+    } else if (n1 == 2 && n2 == 2) {
+        return P.int22[((((t * 8 + t2) * 5 + si1) * 5 + sp1) * 5 + sq1) * 5 + sj1];
+    }
+    int e = extrap(P.internal_, n1 + n2, P);
+    int d = (nl - ns) * P.ninio;
+    e += d < P.max_ninio ? d : P.max_ninio;
+    e += P.mmi[(t * 5 + si1) * 5 + sj1] + P.mmi[(t2 * 5 + sq1) * 5 + sp1];
+    return e;
+}
+
+// pair-type code for (a, b): CG=1 GC=2 GU=3 UG=4 AU=5 UA=6, else 0
+inline int pair_of(int a, int b) {
+    if (a == 2 && b == 3) return 1;
+    if (a == 3 && b == 2) return 2;
+    if (a == 3 && b == 4) return 3;
+    if (a == 4 && b == 3) return 4;
+    if (a == 1 && b == 4) return 5;
+    if (a == 4 && b == 1) return 6;
+    return 0;
+}
+
+// One sequence's MFE in 10 cal/mol. s0 = 0-based codes (0=N,1=A,2=C,3=G,4=U).
+// A line-for-line translation of rnafold.py::fold_mfe (see its docstring for
+// the model; dangles=1 conditional model, dangles=2 unconditional).
+inline int fold_one(const uint8_t* s0, int n, int dangles, const Params& P) {
+    if (n < 5) return 0;
+    uint8_t s[MAXN + 2];
+    s[0] = 0;
+    for (int i = 0; i < n; ++i) s[i + 1] = s0[i];
+    s[n + 1] = 0;
+
+    static thread_local uint8_t ptype[MAXN + 1][MAXN + 1];
+    static thread_local int c[MAXN + 1][MAXN + 1];
+    static thread_local int fml[MAXN + 1][MAXN + 1];
+    static thread_local int fm1[MAXN + 1][MAXN + 1];
+    for (int i = 1; i <= n; ++i)
+        for (int j = 1; j <= n; ++j) {
+            ptype[i][j] = (uint8_t)(j > i ? pair_of(s[i], s[j]) : 0);
+            c[i][j] = fml[i][j] = fm1[i][j] = INF_E;
+        }
+
+    for (int span = 4; span < n; ++span) {
+        for (int i = 1; i <= n - span; ++i) {
+            int j = i + span;
+            int t = ptype[i][j];
+            if (t) {
+                int e = hairpinE(i, j, t, s, P);
+                int pmax = std::min(i + MAXLOOP + 2, j - 4);
+                for (int p = i + 1; p <= pmax; ++p) {
+                    int n1 = p - i - 1;
+                    int qmin = std::max(p + 4, j - 1 - (MAXLOOP - n1));
+                    for (int q = qmin; q < j; ++q) {
+                        int t2 = ptype[p][q];
+                        if (!t2) continue;
+                        int e2 = loopE(n1, j - q - 1, t, RTYPE[t2],
+                                       s[i + 1], s[j - 1], s[p - 1], s[q + 1], P);
+                        if (e2 + c[p][q] < e) e = e2 + c[p][q];
+                    }
+                }
+                // multiloop closing
+                int tt = RTYPE[t];
+                int close_au = tt > 2 ? P.term_au : 0;
+                for (int u = i + 1; u < j - 1; ++u) {
+                    int base = fml[i + 1][u] + fm1[u + 1][j - 1];
+                    if (base < INF_E) {
+                        int e_ml = base + P.ml_closing + P.ml_intern + close_au;
+                        if (dangles == 2)
+                            e_ml += P.d3[tt * 5 + s[i + 1]] + P.d5[tt * 5 + s[j - 1]];
+                        if (e_ml < e) e = e_ml;
+                    }
+                    if (dangles == 1) {
+                        if (i + 2 <= u && fml[i + 2][u] + fm1[u + 1][j - 1] < INF_E) {
+                            int b2 = fml[i + 2][u] + fm1[u + 1][j - 1] +
+                                     P.ml_closing + P.ml_intern + close_au +
+                                     P.ml_base + P.d3[tt * 5 + s[i + 1]];
+                            if (b2 < e) e = b2;
+                        }
+                        if (u + 1 <= j - 2 && fml[i + 1][u] + fm1[u + 1][j - 2] < INF_E) {
+                            int b3 = fml[i + 1][u] + fm1[u + 1][j - 2] +
+                                     P.ml_closing + P.ml_intern + close_au +
+                                     P.ml_base + P.d5[tt * 5 + s[j - 1]];
+                            if (b3 < e) e = b3;
+                        }
+                        if (i + 2 <= u && u + 1 <= j - 2 &&
+                            fml[i + 2][u] + fm1[u + 1][j - 2] < INF_E) {
+                            int b4 = fml[i + 2][u] + fm1[u + 1][j - 2] +
+                                     P.ml_closing + P.ml_intern + close_au +
+                                     2 * P.ml_base + P.d3[tt * 5 + s[i + 1]] +
+                                     P.d5[tt * 5 + s[j - 1]];
+                            if (b4 < e) e = b4;
+                        }
+                    }
+                }
+                c[i][j] = e;
+            }
+
+            // fm1: exactly one multiloop branch with 5' end at i
+            {
+                int e = fm1[i][j - 1] < INF_E ? fm1[i][j - 1] + P.ml_base : INF_E;
+                int tb = ptype[i][j];
+                if (tb) {
+                    int eb = c[i][j] + P.ml_intern + (tb > 2 ? P.term_au : 0);
+                    if (dangles == 2)
+                        eb += P.d5[tb * 5 + s[i - 1]] +
+                              P.d3[tb * 5 + (j < n ? s[j + 1] : 0)];
+                    if (eb < e) e = eb;
+                }
+                fm1[i][j] = e;
+            }
+
+            // fml: >=1 branch in [i, j]; ml_branch inlined below
+            {
+                int e = fml[i + 1][j] < INF_E ? fml[i + 1][j] + P.ml_base : INF_E;
+                if (fml[i][j - 1] < INF_E && fml[i][j - 1] + P.ml_base < e)
+                    e = fml[i][j - 1] + P.ml_base;
+                int t2 = ptype[i][j];
+                if (t2) {
+                    int eb = c[i][j] + P.ml_intern + (t2 > 2 ? P.term_au : 0);
+                    if (dangles == 2)
+                        eb += P.d5[t2 * 5 + s[i - 1]] +
+                              P.d3[t2 * 5 + (j < n ? s[j + 1] : 0)];
+                    if (eb < e) e = eb;
+                }
+                if (dangles == 1) {
+                    int ta = i + 1 < j ? ptype[i + 1][j] : 0;
+                    if (ta) {
+                        int eb = c[i + 1][j] + P.ml_intern + P.ml_base +
+                                 (ta > 2 ? P.term_au : 0) + P.d5[ta * 5 + s[i]];
+                        if (eb < e) e = eb;
+                    }
+                    ta = i < j - 1 ? ptype[i][j - 1] : 0;
+                    if (ta) {
+                        int eb = c[i][j - 1] + P.ml_intern + P.ml_base +
+                                 (ta > 2 ? P.term_au : 0) + P.d3[ta * 5 + s[j]];
+                        if (eb < e) e = eb;
+                    }
+                    ta = i + 1 < j - 1 ? ptype[i + 1][j - 1] : 0;
+                    if (ta) {
+                        int eb = c[i + 1][j - 1] + P.ml_intern + 2 * P.ml_base +
+                                 (ta > 2 ? P.term_au : 0) +
+                                 P.d5[ta * 5 + s[i]] + P.d3[ta * 5 + s[j]];
+                        if (eb < e) e = eb;
+                    }
+                }
+                for (int u = i + 4; u < j - 4; ++u) {
+                    if (fml[i][u] < INF_E && fml[u + 1][j] < INF_E &&
+                        fml[i][u] + fml[u + 1][j] < e)
+                        e = fml[i][u] + fml[u + 1][j];
+                }
+                fml[i][j] = e;
+            }
+        }
+    }
+
+    // exterior loop
+    int f5[MAXN + 1];
+    for (int k = 0; k <= n; ++k) f5[k] = 0;
+    for (int j = 5; j <= n; ++j) {
+        int best = f5[j - 1];
+        for (int i = 1; i < j - 3; ++i) {
+            int prev = f5[i - 1];
+            int t = ptype[i][j];
+            if (t && c[i][j] < INF_E) {
+                int e = prev + c[i][j] + (t > 2 ? P.term_au : 0);
+                if (dangles == 2)
+                    e += (i > 1 ? P.d5[t * 5 + s[i - 1]] : 0) +
+                         (j < n ? P.d3[t * 5 + s[j + 1]] : 0);
+                if (e < best) best = e;
+            }
+            if (dangles == 1) {
+                t = i + 1 < j ? ptype[i + 1][j] : 0;
+                if (t && c[i + 1][j] < INF_E) {
+                    int e = prev + c[i + 1][j] + (t > 2 ? P.term_au : 0) +
+                            P.d5[t * 5 + s[i]];
+                    if (e < best) best = e;
+                }
+                t = i < j - 1 ? ptype[i][j - 1] : 0;
+                if (t && c[i][j - 1] < INF_E) {
+                    int e = prev + c[i][j - 1] + (t > 2 ? P.term_au : 0) +
+                            P.d3[t * 5 + s[j]];
+                    if (e < best) best = e;
+                }
+                t = i + 1 < j - 1 ? ptype[i + 1][j - 1] : 0;
+                if (t && c[i + 1][j - 1] < INF_E) {
+                    int e = prev + c[i + 1][j - 1] + (t > 2 ? P.term_au : 0) +
+                            P.d5[t * 5 + s[i]] + P.d3[t * 5 + s[j]];
+                    if (e < best) best = e;
+                }
+            }
+        }
+        f5[j] = best;
+    }
+    return f5[n];
+}
+
+}  // namespace rnafold
+
+extern "C" {
+
+// Batch MFE fold. seqs: concatenated base codes (0=N,1=A,2=C,3=G,4=U),
+// sequence k at [offsets[k], offsets[k+1]). out[k] = MFE in 10 cal/mol.
+// Returns 0, or -1 on bad params magic, -2 if any sequence exceeds MAXN
+// (caller falls back to the Python fold).
+int64_t ff_rnafold_mfe_batch(const int32_t* params, const uint8_t* seqs,
+                             const int64_t* offsets, int64_t n_seqs,
+                             int32_t dangles, int32_t* out) {
+    rnafold::Params P;
+    if (!rnafold::parse_params(params, &P)) return -1;
+    for (int64_t k = 0; k < n_seqs; ++k)
+        if (offsets[k + 1] - offsets[k] > rnafold::MAXN) return -2;
+    #ifdef _OPENMP
+    #pragma omp parallel for schedule(dynamic, 64)
+    #endif
+    for (int64_t k = 0; k < n_seqs; ++k) {
+        out[k] = rnafold::fold_one(seqs + offsets[k],
+                                   (int)(offsets[k + 1] - offsets[k]),
+                                   dangles, P);
+    }
+    return 0;
 }
 
 }  // extern "C"
