@@ -163,9 +163,18 @@ def _collect_hits(db: Database, guides: List[GuideWithOffTargets],
     g = g[order]
 
     n_guides = len(guides)
+    # Gather per-target offsets/positions through the UNIQUE sorted target
+    # set: db.pos_offsets/db.positions are memory-mapped (3 GB each at hg38
+    # scale) and random fancy-indexing pays a ~4 KB page fault per element;
+    # ascending gathers ride readahead instead (~10 s -> <1 s at 145k hits).
+    u, inv = np.unique(t, return_inverse=True)
+    off_lo = np.asarray(db.pos_offsets[u], dtype=np.int64)
+    off_hi = np.asarray(db.pos_offsets[u + 1], dtype=np.int64)
+    lens_u = off_hi - off_lo
+
     # per-guide hit segments
     seg = np.searchsorted(g, np.arange(n_guides + 1, dtype=np.int64))
-    pos_counts = db.pos_offsets[t + 1] - db.pos_offsets[t]
+    pos_counts = lens_u[inv]
     cum = np.cumsum(pos_counts)
     excl = cum - pos_counts                       # positions before this hit
     seg_base = np.zeros(n_guides, dtype=np.int64)
@@ -178,16 +187,24 @@ def _collect_hits(db: Database, guides: List[GuideWithOffTargets],
     t_acc = t[accept]
     g_acc = g[accept]
 
-    # ragged gather of the accepted hits' position lists
-    starts = db.pos_offsets[t_acc]
+    # each unique target's position list, gathered ONCE in ascending order
+    pool_off = np.zeros(u.shape[0] + 1, dtype=np.int64)
+    np.cumsum(lens_u, out=pool_off[1:])
+    flat_u = (np.arange(int(pool_off[-1]), dtype=np.int64)
+              - np.repeat(pool_off[:-1], lens_u)
+              + np.repeat(off_lo, lens_u))
+    pool = np.asarray(db.positions[flat_u])
+
+    # ragged assembly of the accepted hits' lists from the in-RAM pool
+    inv_acc = inv[accept]
     counts = pos_counts[accept]
     out_off = np.zeros(t_acc.shape[0] + 1, dtype=np.int64)
     np.cumsum(counts, out=out_off[1:])
     total = int(out_off[-1])
     flat = (np.arange(total, dtype=np.int64)
             - np.repeat(out_off[:-1], counts)
-            + np.repeat(starts, counts))
-    coords = db.positions[flat]
+            + np.repeat(pool_off[inv_acc], counts))
+    coords = pool[flat]
 
     seg_a = np.searchsorted(g_acc, np.arange(n_guides + 1, dtype=np.int64))
     targets = db.targets

@@ -276,3 +276,65 @@ def _jdk8_positive(x: float) -> str:
         return "0." + "0" * (-dec_exponent) + digits
     frac = digits[1:] or "0"
     return digits[0] + "." + frac + "E" + str(dec_exponent - 1)
+
+
+# ---------------------------------------------------------------------------
+# scala.collection.mutable.HashMap iteration order (Scala 2.12)
+# ---------------------------------------------------------------------------
+
+def _java_string_hashcode(s: str) -> int:
+    h = 0
+    for ch in s:
+        h = (31 * h + ord(ch)) & 0xFFFFFFFF
+    return h
+
+
+def _byteswap32(v: int) -> int:
+    """scala.util.hashing.byteswap32: multiply, reverse bytes, multiply."""
+    hc = (v * 0x9E3775CD) & 0xFFFFFFFF
+    hc = int.from_bytes(hc.to_bytes(4, "big"), "little")
+    return (hc * 0x9E3775CD) & 0xFFFFFFFF
+
+
+def scala_hashmap_iteration_order(keys):
+    """Iteration order of a Scala 2.12 ``mutable.HashMap[String, _]`` after
+    inserting ``keys`` in order.
+
+    Emulates HashTable.scala: improved hashing
+    ``rotateRight(byteswap32(key.hashCode), seed)`` with seed =
+    bitCount(initialCapacity - 1) = 4, bucket = top bits, prepend-chained
+    buckets, resize x2 above 0.75 load (old buckets re-prepended high to
+    low), and iteration from the highest populated bucket down.
+
+    The reference renders per-OT score maps in THIS order
+    (CRISPRHit.toOutputScores, crispr/CRISPRHit.scala:95-102); matching it
+    keeps multi-score OT tokens byte-identical (CRISPRHitTest.scala golden
+    "{test2=value2!test=value}").
+    """
+    seed = 4  # bitCount(16 - 1); seedvalue is fixed at construction
+    table_len = 16
+    threshold = table_len * 3 // 4
+    buckets = [[] for _ in range(table_len)]
+
+    def bucket_of(key: str) -> int:
+        h = _byteswap32(_java_string_hashcode(key))
+        improved = ((h >> seed) | (h << (32 - seed))) & 0xFFFFFFFF
+        exponent = 32 - (table_len - 1).bit_length()
+        return (improved >> exponent) & (table_len - 1)
+
+    size = 0
+    for key in keys:
+        buckets[bucket_of(key)].insert(0, key)  # addEntry prepends
+        size += 1
+        if size > threshold:
+            old = buckets
+            table_len *= 2
+            threshold = table_len * 3 // 4
+            buckets = [[] for _ in range(table_len)]
+            for b in range(len(old) - 1, -1, -1):  # resize walks high -> low
+                for k in old[b]:  # chain order; re-prepend preserves walk
+                    buckets[bucket_of(k)].insert(0, k)
+    out = []
+    for b in range(table_len - 1, -1, -1):  # entriesIterator: high -> low
+        out.extend(buckets[b])
+    return out

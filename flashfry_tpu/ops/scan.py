@@ -346,7 +346,9 @@ class DeviceScanner:
     def __init__(self, db: Database, use_pallas: Optional[bool] = None,
                  chunk: Optional[int] = None, cap: int = DEFAULT_CAP,
                  trip_cap: int = TRIPLET_CAP,
-                 hbm_budget: Optional[int] = None):
+                 hbm_budget: Optional[int] = None,
+                 time_init: bool = False):
+        import time
         import jax
         enable_compilation_cache()
         self.trip_cap = trip_cap
@@ -367,8 +369,18 @@ class DeviceScanner:
         n_pad = max(chunk, int(np.ceil(max(n, 1) / chunk)) * chunk)
         if hbm_budget is None:
             hbm_budget = hbm_budget_bytes()
+        self.init_timings = {}
         if CODE_ROWS * n_pad <= hbm_budget:
-            self.codes = jax.device_put(plane_codes(db.targets, self.L, n_pad))
+            t0 = time.time()
+            codes_host = plane_codes(db.targets, self.L, n_pad)
+            t1 = time.time()
+            self.codes = jax.device_put(codes_host)
+            if time_init:
+                # force + time the HBM upload (block_until_ready is a no-op
+                # over the axon tunnel; a value fetch is the only barrier)
+                np.asarray(self.codes[0, :8])
+                self.init_timings["plane_codes_s"] = round(t1 - t0, 3)
+                self.init_timings["hbm_upload_s"] = round(time.time() - t1, 3)
             self.slab_n = n_pad
         else:
             self.codes = None  # streaming: slabs uploaded per scan

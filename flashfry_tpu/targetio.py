@@ -23,7 +23,19 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from .bitcoding import BitEncoding, STRING_MASK, longs_to_codes, _CODE_TO_BASE
+from .javafmt import scala_hashmap_iteration_order
 from .positions import BitPosition
+
+
+def _scala_ordered_score_items(cols: Dict[str, list]) -> List[Tuple[str, list]]:
+    """Per-OT score columns in Scala mutable.HashMap iteration order — the
+    order CRISPRHit.toOutputScores renders multi-score tokens in
+    (CRISPRHit.scala:95-102). Per-hit subsets keep the restriction of this
+    order (bucket placement is per-key; only a >12-model map could resize
+    and diverge, far beyond the reference's two per-OT models)."""
+    if len(cols) <= 1:
+        return list(cols.items())
+    return [(k, cols[k]) for k in scala_hashmap_iteration_order(list(cols))]
 
 HEADER_COMMENT = "# "
 SEP = "\t"
@@ -311,7 +323,7 @@ def render_ot_tokens(guides: Sequence[GuideWithOffTargets],
         for gi, g in enumerate(guides):
             if g.ot_score_cols:
                 s, e = int(hit_start[gi]), int(hit_start[gi + 1])
-                items = list(g.ot_score_cols.items())
+                items = _scala_ordered_score_items(g.ot_score_cols)
                 for i in range(s, e):
                     pairs = [k + SCORES_PAIRING + col[i - s] for k, col in items
                              if (i - s) < len(col) and col[i - s] is not None]
@@ -364,7 +376,7 @@ def _render_native(guides, arrs, hit_start, bit_encoding: BitEncoding,
                     if i < len(col) and col[i] is not None else ""
                     for i in range(n))
             else:
-                items = list(g.ot_score_cols.items())
+                items = _scala_ordered_score_items(g.ot_score_cols)
                 for i in range(n):
                     pairs = [kk + SCORES_PAIRING + col[i] for kk, col in items
                              if i < len(col) and col[i] is not None]

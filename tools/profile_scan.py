@@ -99,7 +99,7 @@ def main():
 
     @jax.jit
     def fused_once(c, g, n_a):
-        return fused(c, g, n_a, jnp.int32(2 * chunk))[0, -2]
+        return fused(c, g, n_a)[0, -2]
     bench_loop("fused 2-chunk", lambda c, g, n_a: fused_once(c, g, n_a),
                codes2, (goh, na), 2 * chunk * G, K=4)
 
