@@ -219,6 +219,16 @@ def make_fused_scan(L: int, n_act: int, max_mm: int, chunk: int, g_rows: int,
     If either overflows, the overflow flag is set and the caller retries with
     larger caps.
 
+    NEGATIVE RESULT (measured v5e, kept so it is not retried): running
+    stage 1 over guide-PAIR union one-hots (half the rows; conservative
+    because union matches >= each member's matches, with stage 2 removing
+    the false positives) is 1.5x faster per kernel call (1.53e12 vs 1.02e12
+    cmp/s) but useless at real guide counts — the per-COLUMN false-positive
+    rate is 1 - (1 - p_pair)^(G/2) with p_pair ~ 1e-3, i.e. ~40% of all
+    targets fire at G=1024, swamping the compaction. Any stage-1
+    coarsening must keep the per-column FP rate ~G times smaller than the
+    per-row rate.
+
     CONTRACT: codes_full's padding columns (beyond the real target count)
     MUST hold PAD_CODE, as plane_codes produces. Their one-hot expansion is
     all-zero so they can never reach the stage-1 threshold; there is no
@@ -333,6 +343,64 @@ def hbm_budget_bytes() -> int:
     return int(gb * (1 << 30))
 
 
+@functools.lru_cache(maxsize=4)
+def _expand_codes_jit(L: int, slab: int):
+    """Jitted (buf (32, N) int8, lo (slab,) i32, hi (slab,) i32, start i32,
+    n_valid i32) -> buf with columns [start, start+slab) filled.
+
+    Decodes 2-bit packed words into plane-major base codes ON DEVICE, so the
+    host uploads 8 bytes/target instead of 32 bytes of pre-expanded planes.
+    Measured on the remote v5e: the host-side plane_codes build of an
+    hg38-scale database costs ~536 s (single-threaded numpy over 12 GB with
+    this sandbox's 20-60 MB/s first-touch faults) and its HBM upload ~476 s
+    (12 GB over a ~25 MB/s tunnel); uploading the packed words and expanding
+    on device cuts both ~4x. buf is donated so the update aliases in place
+    (no second 12 GB buffer); columns >= n_valid keep PAD_CODE."""
+    import jax
+    import jax.numpy as jnp
+
+    def fill(buf, lo, hi, start, n_valid):
+        rows = []
+        for i in range(L):
+            s = 2 * (L - 1 - i)  # bases never straddle the 32-bit split
+            w = lo if s < 32 else hi
+            rows.append((jax.lax.shift_right_logical(w, s % 32) & 3))
+        codes = jnp.stack(rows).astype(jnp.int8)              # (L, slab)
+        codes = jnp.pad(codes, ((0, CODE_ROWS - L), (0, 0)))
+        valid = jnp.arange(slab, dtype=jnp.int32) < n_valid
+        codes = jnp.where(valid[None, :], codes, jnp.int8(PAD_CODE))
+        return jax.lax.dynamic_update_slice(buf, codes, (0, start))
+
+    return jax.jit(fill, donate_argnums=(0,))
+
+
+def device_plane_codes(targets: np.ndarray, L: int, n_pad: int, slab: int):
+    """Packed int64 targets -> (32, n_pad) int8 plane codes resident on the
+    default device, built by streaming packed words (8 B/target) and
+    expanding on device (see _expand_codes_jit). slab must divide n_pad
+    (callers pass their chunk size, which already tiles n_pad) so one
+    fixed-shape executable serves every slab; the tail slab masks its
+    invalid columns and fully-padded slabs are skipped (the initial fill is
+    already PAD_CODE)."""
+    import jax
+    import jax.numpy as jnp
+    n = targets.shape[0]
+    slab = min(slab, n_pad)
+    assert n_pad % slab == 0, (n_pad, slab)
+    fill = _expand_codes_jit(L, slab)
+    buf = jnp.full((CODE_ROWS, n_pad), PAD_CODE, jnp.int8)
+    for t_lo in range(0, n, slab):
+        t_hi = min(n, t_lo + slab)
+        lo_h, hi_h = split_words(targets[t_lo:t_hi])
+        if t_hi - t_lo < slab:
+            pad = slab - (t_hi - t_lo)
+            lo_h = np.pad(lo_h, (0, pad))
+            hi_h = np.pad(hi_h, (0, pad))
+        buf = fill(buf, jax.device_put(lo_h), jax.device_put(hi_h),
+                   jnp.int32(t_lo), jnp.int32(t_hi - t_lo))
+    return buf
+
+
 class DeviceScanner:
     """Holds the database on device (plane-major codes) and scans guide
     batches against it.
@@ -371,16 +439,28 @@ class DeviceScanner:
             hbm_budget = hbm_budget_bytes()
         self.init_timings = {}
         if CODE_ROWS * n_pad <= hbm_budget:
+            import os
             t0 = time.time()
-            codes_host = plane_codes(db.targets, self.L, n_pad)
-            t1 = time.time()
-            self.codes = jax.device_put(codes_host)
-            if time_init:
-                # force + time the HBM upload (block_until_ready is a no-op
-                # over the axon tunnel; a value fetch is the only barrier)
-                np.asarray(self.codes[0, :8])
-                self.init_timings["plane_codes_s"] = round(t1 - t0, 3)
-                self.init_timings["hbm_upload_s"] = round(time.time() - t1, 3)
+            if os.environ.get("FLASHFRY_TPU_HOST_CODES"):
+                codes_host = plane_codes(db.targets, self.L, n_pad)
+                t1 = time.time()
+                self.codes = jax.device_put(codes_host)
+                if time_init:
+                    # force + time the upload (block_until_ready is a no-op
+                    # over the axon tunnel; a value fetch is the only barrier)
+                    np.asarray(self.codes[0, :8])
+                    self.init_timings["plane_codes_s"] = round(t1 - t0, 3)
+                    self.init_timings["hbm_upload_s"] = round(time.time() - t1, 3)
+            else:
+                # stream packed words (8 B/target) and expand to plane codes
+                # on device: ~4x less tunnel upload and no host-side 32-byte
+                # plane build (device_plane_codes docstring has the numbers)
+                self.codes = device_plane_codes(db.targets, self.L, n_pad,
+                                                self.chunk)
+                if time_init:
+                    np.asarray(self.codes[0, :8])
+                    self.init_timings["codes_upload_expand_s"] = round(
+                        time.time() - t0, 3)
             self.slab_n = n_pad
         else:
             self.codes = None  # streaming: slabs uploaded per scan
@@ -417,8 +497,8 @@ class DeviceScanner:
         # streaming: ascending slabs outer so per-guide order is preserved
         for t_lo in range(0, self.n, self.slab_n):
             t_hi = min(self.n, t_lo + self.slab_n)
-            codes_d = jax.device_put(
-                plane_codes(self.db.targets[t_lo:t_hi], self.L, self.slab_n))
+            codes_d = device_plane_codes(
+                self.db.targets[t_lo:t_hi], self.L, self.slab_n, self.chunk)
             for t_idx, g_idx, mm in self._scan_blocks(
                     g_all, blocks, max_mismatch,
                     stats if t_lo == 0 else None, block,
@@ -496,6 +576,11 @@ class DeviceScanner:
                 buf_d, _, trip_cap = self._dispatch_block(
                     g_all[g_lo:g_hi], max_mismatch, None, pad_to, codes)
             else:
+                import logging
+                logging.getLogger(__name__).warning(
+                    "device scan caps exhausted after %d retries for guide "
+                    "block [%d, %d); running the exact host fallback (slow)",
+                    MAX_RETRIES, g_lo, g_hi)
                 for t_idx, g_idx, mm in self._host_scan(
                         g_all[g_lo:g_hi], max_mismatch,
                         t_base=t_base, n_valid=n_valid):

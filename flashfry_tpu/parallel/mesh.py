@@ -307,6 +307,10 @@ class ShardedScanner:
             out_d, trip_cap = self._dispatch(guide_longs, max_mismatch, None,
                                              pad_to)
         # exact host fallback (this guide block only)
+        import logging
+        logging.getLogger(__name__).warning(
+            "sharded scan caps exhausted after %d retries; running the "
+            "exact host fallback for one guide block (slow)", MAX_RETRIES)
         from ..bitcoding import BitEncoding
         enc = BitEncoding(self.db.pack)
         g = np.asarray(guide_longs, dtype=np.uint64)

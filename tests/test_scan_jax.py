@@ -215,3 +215,19 @@ def test_device_scanner_streaming_slabs_match_numpy():
     for g, hits in b.items():
         ts = [t for t, _ in hits]
         assert ts == sorted(ts)
+
+
+def test_device_plane_codes_matches_host():
+    """Device-side word expansion must reproduce plane_codes exactly,
+    including PAD_CODE padding columns and the masked tail slab."""
+    from flashfry_tpu.ops.scan import (PAD_CODE, device_plane_codes,
+                                       plane_codes)
+    rng = np.random.default_rng(3)
+    for n, n_pad, slab in ((1000, 1 << 12, 1 << 10), (0, 1 << 10, 1 << 10),
+                           (1 << 12, 1 << 12, 1 << 12)):
+        targets = rng.integers(0, 1 << 46, size=n, dtype=np.uint64)
+        want = plane_codes(targets, 23, n_pad)
+        got = np.asarray(device_plane_codes(targets, 23, n_pad, slab))
+        assert got.shape == want.shape
+        assert np.array_equal(got, want)
+        assert (got[:, n:] == PAD_CODE).all()

@@ -115,6 +115,31 @@ def make_v4_concat_onehot(thr, chunk, g_rows, t_tile=4096):
     )
 
 
+def make_v6_bf16out(thr, chunk, g_rows, t_tile=4096):
+    """Block one-hot + bf16 matmul OUTPUT: the (G, T) max-reduce epilogue
+    runs at 2 bf16/lane/cycle instead of 1 int32 (matches <= 24 are exact
+    in bf16). Combined with group2 row-halving this targets the epilogue,
+    which costs as much as the K=128 matmul itself."""
+    def kernel(code_ref, guide_ref, out_ref):
+        codes = code_ref[:].astype(jnp.int32)
+        t_oh = jnp.concatenate(
+            [(codes == b).astype(jnp.int8) for b in range(4)], axis=0)
+        m = jnp.dot(guide_ref[:], t_oh, preferred_element_type=jnp.bfloat16)
+        out_ref[:] = (jnp.max(m, axis=0, keepdims=True) >=
+                      jnp.bfloat16(thr)).astype(jnp.int8)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(chunk // t_tile,),
+        in_specs=[
+            pl.BlockSpec((CODE_ROWS, t_tile), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g_rows, OH_ROWS), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, t_tile), lambda t: (0, t), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, chunk), jnp.int8),
+    )
+
+
 def make_v5_tile(thr, chunk, g_rows, t_tile):
     def kernel(code_ref, guide_ref, out_ref):
         codes = code_ref[:].astype(jnp.int32)
@@ -202,6 +227,18 @@ def main():
     if "0" in which:
         v0 = stage1_pallas(n_act, max_mm, chunk, G)
         bench_loop("v0 baseline (4096)", v0, codes, (guide_i8,), work)
+    if "g2" in which:
+        # paired guides: half the stage-1 rows, same logical work counted
+        sup = jnp.maximum(guide_i8_blk[0::2], guide_i8_blk[1::2])
+        vg = stage1_pallas(n_act, max_mm, chunk, G // 2)
+        bench_loop("group2 (512 super rows)", vg, codes, (sup,), work)
+    if "g2bf" in which:
+        sup = jnp.maximum(guide_i8_blk[0::2], guide_i8_blk[1::2])
+        run("group2 + bf16 epilogue",
+            lambda: make_v6_bf16out(thr, chunk, G // 2), codes, sup)
+    if "bf" in which:
+        run("v6 bf16 epilogue", lambda: make_v6_bf16out(thr, chunk, G),
+            codes, guide_i8_blk)
     if "1" in which:
         run("v1 g-loop 128", lambda: make_v1_gloop(thr, chunk, G), codes, guide_i8)
     if "3" in which:
