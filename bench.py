@@ -127,17 +127,20 @@ def presize_caps(scanner, genome_mb):
     will succeed instead of paying the escalation chain (each escalated cap
     is a fresh executable; compiles are persistent-cached but a cold cache
     costs minutes per shape on this 2-core host)."""
-    want = 0
     for mm in (4, 5):
         path = os.path.join(CACHE, "expected_hits_%dM_g%d_mm%d.json"
                             % (genome_mb, N_GUIDES, mm))
-        if os.path.exists(path):
-            with open(path) as fh:
-                want = max(want, json.load(fh)["hits"])
-    while want and scanner.trip_cap < want:
-        scanner.trip_cap *= 4
-        log("presized trip_cap to %d (pinned hits %d)"
-            % (scanner.trip_cap, want))
+        if not os.path.exists(path):
+            continue
+        with open(path) as fh:
+            want = json.load(fh)["hits"]
+        cap, trip = scanner._caps.get(mm, (scanner._cap0, scanner._trip0))
+        while trip < want:
+            trip *= 4
+        if trip != scanner._trip0:
+            scanner._caps[mm] = (cap, trip)
+            log("presized mm=%d trip_cap to %d (pinned hits %d)"
+                % (mm, trip, want))
 
 
 def assert_expected_hits(genome_mb, max_mm, n_hits):

@@ -432,6 +432,12 @@ class DeviceScanner:
             chunk = max(T_TILE, (chunk // T_TILE) * T_TILE)
         self.chunk = chunk
         self.cap = cap
+        # caps escalate stickily PER max_mismatch: an mm=5 scan needs ~10x
+        # the column/triplet caps of mm=4, and leaving them escalated would
+        # make every later mm=4 scan pay mm=5-sized compaction domains and
+        # fetch buffers (fetches cost ~40 ms/MB over the remote tunnel)
+        self._cap0, self._trip0 = cap, trip_cap
+        self._caps = {}
         n = db.num_targets
         self.n = n
         n_pad = max(chunk, int(np.ceil(max(n, 1) / chunk)) * chunk)
@@ -490,23 +496,62 @@ class DeviceScanner:
             block *= 2
         blocks = [(g_lo, min(n_guides, g_lo + block))
                   for g_lo in range(0, max(n_guides, 1), block)]
-        if self.codes is not None:
-            yield from self._scan_blocks(g_all, blocks, max_mismatch, stats,
-                                         block, self.codes, 0, self.n)
-            return
-        # streaming: ascending slabs outer so per-guide order is preserved
-        for t_lo in range(0, self.n, self.slab_n):
-            t_hi = min(self.n, t_lo + self.slab_n)
-            codes_d = device_plane_codes(
-                self.db.targets[t_lo:t_hi], self.L, self.slab_n, self.chunk)
-            for t_idx, g_idx, mm in self._scan_blocks(
-                    g_all, blocks, max_mismatch,
-                    stats if t_lo == 0 else None, block,
-                    codes_d, t_lo, t_hi - t_lo):
-                yield t_idx + t_lo, g_idx, mm
-            del codes_d
+        key = int(max_mismatch)
+        self.cap, self.trip_cap = self._caps.get(key,
+                                                 (self._cap0, self._trip0))
+        try:
+            if self.codes is not None:
+                yield from self._scan_blocks(g_all, blocks, max_mismatch,
+                                             stats, block, self.codes, 0,
+                                             self.n)
+                return
+            # streaming: ascending slabs outer, preserving per-guide order
+            for t_lo in range(0, self.n, self.slab_n):
+                t_hi = min(self.n, t_lo + self.slab_n)
+                codes_d = device_plane_codes(
+                    self.db.targets[t_lo:t_hi], self.L, self.slab_n,
+                    self.chunk)
+                for t_idx, g_idx, mm in self._scan_blocks(
+                        g_all, blocks, max_mismatch,
+                        stats if t_lo == 0 else None, block,
+                        codes_d, t_lo, t_hi - t_lo):
+                    yield t_idx + t_lo, g_idx, mm
+                del codes_d
+        finally:
+            self._caps[key] = (self.cap, self.trip_cap)
 
     PIPELINE_DEPTH = 3  # in-flight fused dispatches (double/triple buffering)
+    FETCH_SLICE_MIN = 1 << 19  # buffers larger than this fetch count-first
+
+    def _fetch_triplets(self, buf_d, trip_cap):
+        """Fetch one fused-scan buffer -> (t_idx, g_idx, mm, count,
+        overflow).
+
+        Small buffers come back in ONE fetch (every fetch pays an ~84 ms
+        latency floor on the remote tunnel). Large buffers — escalated
+        triplet caps reach millions of slots at 8 B each against a
+        ~25 MB/s tunnel — fetch the 2-word header first, then only a
+        64k-bucketed slice covering the real triplet count, so an
+        over-provisioned cap costs bandwidth proportional to the HITS, not
+        the cap. Bucketing keeps the slice executable count bounded (each
+        static slice shape compiles once, persistently cached)."""
+        import jax
+        width = buf_d.shape[1]
+        if width - 2 <= self.FETCH_SLICE_MIN:
+            buf = np.asarray(buf_d)  # ONE fetch
+            return parse_trip_buffer(buf)
+        head = np.asarray(buf_d[0, width - 2:])
+        count, overflow = int(head[0]), int(head[1])
+        n = 0 if (overflow or count > trip_cap) else count
+        if n == 0:
+            z = np.zeros(0, np.int64)
+            return z, z, z.astype(np.int8), count, overflow
+        bucket = min(width - 2, -(-n // (1 << 16)) * (1 << 16))
+        body = np.asarray(
+            jax.lax.dynamic_slice_in_dim(buf_d, 0, bucket, axis=1))
+        packed = body[1, :n]
+        return (body[0, :n].astype(np.int64), (packed >> 8).astype(np.int64),
+                (packed & 0xFF).astype(np.int8), count, overflow)
 
     def _dispatch_block(self, guide_longs: np.ndarray, max_mismatch: int,
                         stats, pad_to: int, codes):
@@ -559,8 +604,8 @@ class DeviceScanner:
         while pending:
             g_lo, g_hi, buf_d, trip_cap = pending.popleft()
             for _attempt in range(1 + MAX_RETRIES):
-                buf = np.asarray(buf_d)  # ONE fetch per block
-                t_idx, g_idx, mm, count, overflow = parse_trip_buffer(buf)
+                t_idx, g_idx, mm, count, overflow = self._fetch_triplets(
+                    buf_d, trip_cap)
                 if not overflow and count <= trip_cap:
                     if count:
                         yield t_idx, g_idx + g_lo, mm

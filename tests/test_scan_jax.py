@@ -231,3 +231,42 @@ def test_device_plane_codes_matches_host():
         assert got.shape == want.shape
         assert np.array_equal(got, want)
         assert (got[:, n:] == PAD_CODE).all()
+
+
+def test_two_phase_slice_fetch_matches_whole_buffer():
+    """Forcing the count-first bucketed slice fetch (normally only for
+    >512k-slot buffers) must yield identical triplets to the whole-buffer
+    fetch, including across cap-overflow retries."""
+    genome = random_genome(60000, seed=77)
+    db = build_db(genome, Cas9NGGParameterPack)
+    gsites = find_target_sites(iter([("g", genome[1000:1800])]),
+                               Cas9NGGParameterPack)
+    guides = np.asarray(gsites.sequences)
+
+    def collect(**kw):
+        sc = DeviceScanner(db, use_pallas=False, chunk=1 << 13)
+        for k, v in kw.items():
+            setattr(sc, k, v)
+        return [(t, g, m)
+                for ti, gi, mi in sc.scan(guides, 4)
+                for t, g, m in zip(ti.tolist(), gi.tolist(), mi.tolist())]
+
+    whole = collect()
+    sliced = collect(FETCH_SLICE_MIN=0)
+    assert sliced == whole and len(whole) > 0
+
+
+def test_caps_escalate_per_max_mismatch():
+    """Cap escalation at one max_mismatch must not inflate the buffers of
+    scans at another (per-mm sticky caps)."""
+    genome = random_genome(40000, seed=78)
+    db = build_db(genome, Cas9NGGParameterPack)
+    gsites = find_target_sites(iter([("g", genome[500:1500])]),
+                               Cas9NGGParameterPack)
+    guides = np.asarray(gsites.sequences)
+    sc = DeviceScanner(db, use_pallas=False, chunk=1 << 12, trip_cap=8)
+    n8 = sum(len(t) for t, _, _ in sc.scan(guides, 8))   # escalates hard
+    assert n8 > 8
+    assert sc._caps[8][1] > sc._trip0
+    n4_trip0_before = sc._caps.get(4, (sc._cap0, sc._trip0))[1]
+    assert n4_trip0_before == sc._trip0  # mm=4 caps untouched by mm=8
