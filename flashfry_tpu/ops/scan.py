@@ -265,6 +265,7 @@ def make_fused_scan(L: int, n_act: int, max_mm: int, chunk: int, g_rows: int,
     def f(codes_full, guide_oh, n_active):
         from .scan_kernel import guide_block_layout
         guide_bf = guide_oh.astype(jnp.bfloat16)                   # (G, 4L)
+        guide_bf_T = guide_bf.T                                    # (4L, G)
         guide_i8 = guide_block_layout(guide_oh, L)                 # (G, 128)
 
         def body(c, carry):
@@ -276,13 +277,17 @@ def make_fused_scan(L: int, n_act: int, max_mm: int, chunk: int, g_rows: int,
             # never hit: no (idx < n_targets) mask pass is needed
             hit = stage1(codes_chunk, guide_i8, guide_bf)          # (chunk,)
             cols, n_cols = _packed_nonzero(hit, col_cap)
-            # exact mismatch counts for the hit columns
-            t_oh = codes_onehot_jnp(codes_chunk[:, cols], L)       # (4L, cap)
-            matches = jax.lax.dot(guide_bf, t_oh,
+            # exact mismatch counts for the hit columns, computed in the
+            # (cap, G) orientation directly: transposing the small (32, cap)
+            # int8 code selection instead of a (G, cap) int32 matches matrix
+            # moves ~128x less data (268 MB/chunk at mm=5-escalated caps)
+            selT = codes_chunk[:, cols].T[:, :L]                   # (cap, L)
+            t_ohT = (selT[:, :, None] ==
+                     jnp.arange(4, dtype=selT.dtype)).reshape(col_cap, 4 * L)
+            matches = jax.lax.dot(t_ohT.astype(jnp.bfloat16), guide_bf_T,
                                   preferred_element_type=jnp.float32)
-            mm = jnp.minimum(n_active[:, None] - matches, _PAD_MM)  # (G, cap)
             col_ok = jnp.arange(col_cap) < n_cols
-            mmT = mm.T                                             # (cap, G)
+            mmT = jnp.minimum(n_active[None, :] - matches, _PAD_MM)  # (cap, G)
             hits2d = (mmT <= max_mm) & col_ok[:, None]
             flat, k = _packed_nonzero(hits2d.reshape(-1), block_cap)
             g_idx = (flat % g_rows).astype(jnp.int32)
