@@ -273,17 +273,61 @@ class ShardedScanner:
                           self.trip_cap)
         return step(self.codes, goh_d, na_d), self.trip_cap
 
+    FETCH_SLICE_MIN = 1 << 19  # per-shard slots; larger buffers fetch count-first
+
+    def _parse_buffers(self, out_d, trip_cap):
+        """Fetch the (D, Gx, 2, width) sharded buffers -> per-shard parsed
+        tuples [(t_idx, g_idx, mm, count, overflow)].
+
+        Large buffers (escalated caps) fetch all D*Gx 2-word headers in ONE
+        fetch, then ONE bucketed body slice sized to the largest per-shard
+        triplet count — fetch cost scales with hits, not caps (the
+        single-device analog is DeviceScanner._fetch_triplets; on multi-host
+        each fetch is a process_allgather, so collapsing to two matters
+        more, not less)."""
+        import numpy as np
+        from ..ops.scan import parse_trip_buffer
+        width = out_d.shape[3]
+        if width - 2 <= self.FETCH_SLICE_MIN:
+            out = self._fetch(out_d)
+            return [[parse_trip_buffer(out[s, q]) for q in range(self.Gx)]
+                    for s in range(self.D)]
+        heads = self._fetch(out_d[:, :, :1, width - 2:])     # (D, Gx, 1, 2)
+        counts = heads[:, :, 0, 0].astype(np.int64)
+        oflags = heads[:, :, 0, 1].astype(np.int64)
+        bad = (oflags > 0) | (counts > trip_cap)
+        n_max = int(np.where(bad, 0, counts).max(initial=0))
+        z = np.zeros(0, np.int64)
+        if n_max == 0:
+            return [[(z, z, z.astype(np.int8), int(counts[s, q]),
+                      int(oflags[s, q]))
+                     for q in range(self.Gx)] for s in range(self.D)]
+        import jax
+        bucket = min(width - 2, -(-n_max // (1 << 16)) * (1 << 16))
+        body = self._fetch(
+            jax.lax.dynamic_slice_in_dim(out_d, 0, bucket, axis=3))
+        parsed = []
+        for s in range(self.D):
+            row = []
+            for q in range(self.Gx):
+                n = 0 if bad[s, q] else int(counts[s, q])
+                packed = body[s, q, 1, :n]
+                row.append((body[s, q, 0, :n].astype(np.int64),
+                            (packed >> 8).astype(np.int64),
+                            (packed & 0xFF).astype(np.int8),
+                            int(counts[s, q]), int(oflags[s, q])))
+            parsed.append(row)
+        return parsed
+
     def _collect_block(self, guide_longs, max_mismatch, pad_to, out_d,
                        trip_cap):
         """Fetch + merge one guide block's sharded buffers; on cap overflow
         re-dispatch just this block at escalated caps."""
-        from ..ops.scan import parse_trip_buffer, MAX_RETRIES
+        from ..ops.scan import MAX_RETRIES
 
         g_local = pad_to // self.Gx
         for _attempt in range(1 + MAX_RETRIES):
-            out = self._fetch(out_d)
-            parsed = [[parse_trip_buffer(out[s, q]) for q in range(self.Gx)]
-                      for s in range(self.D)]
+            parsed = self._parse_buffers(out_d, trip_cap)
             col_of = any(p[4] & 1 for row in parsed for p in row)
             trip_of = any((p[4] & 2) or p[3] > trip_cap
                           for row in parsed for p in row)

@@ -169,3 +169,34 @@ def test_device_counter_matches_numpy_pruned_semantics():
         stats[backend] = st
     assert stats["jax"].all_comparisons == stats["numpy"].all_comparisons
     assert stats["jax"].all_comparisons < stats["jax"].dense_comparisons
+
+
+def test_sharded_two_phase_fetch_matches_whole_buffer():
+    """Forcing the count-first sliced fetch must reproduce the whole-buffer
+    fetch byte-for-byte on the virtual mesh."""
+    import numpy as np
+    from flashfry_tpu.discovery import find_target_sites
+    from flashfry_tpu.database import build_database_from_sites
+    from flashfry_tpu.parallel.mesh import ShardedScanner, make_mesh
+    from flashfry_tpu.standards import Cas9NGGParameterPack
+
+    rng = np.random.default_rng(91)
+    genome = "".join("ACGT"[i] for i in rng.integers(0, 4, size=50000))
+    sites = find_target_sites(iter([("chrT", genome)]), Cas9NGGParameterPack)
+    db = build_database_from_sites(sites, 7)
+    gsites = find_target_sites(iter([("g", genome[900:1700])]),
+                               Cas9NGGParameterPack)
+    guides = np.asarray(gsites.sequences)
+
+    def collect(**kw):
+        sc = ShardedScanner(db, mesh=make_mesh(4), use_pallas=False,
+                            chunk=1 << 12)
+        for k, v in kw.items():
+            setattr(sc, k, v)
+        return [(t, g, m)
+                for ti, gi, mi in sc.scan(guides, 4)
+                for t, g, m in zip(ti.tolist(), gi.tolist(), mi.tolist())]
+
+    whole = collect()
+    sliced = collect(FETCH_SLICE_MIN=0)
+    assert sliced == whole and len(whole) > 0
