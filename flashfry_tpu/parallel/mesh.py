@@ -148,14 +148,49 @@ class ShardedScanner:
         self.codes = self._put_codes()
 
     def _put_codes(self):
-        """Build + upload the sharded code planes. Single-process: the full
-        host array, device_put with the (None, "db") sharding. Multi-host
-        subclasses override to build only the local slabs."""
+        """Build + upload the sharded code planes: upload the packed 2-bit
+        words (8 B/target, sharded over "db") and expand to plane-major
+        codes on the devices with a shard_map — the sharded analog of
+        ops.scan.device_plane_codes (4x less host->device traffic and no
+        host-side 32-byte plane build; the expansion is pure elementwise
+        shifts, so no collectives). Multi-host subclasses override to build
+        only the local slabs."""
         import jax
+        import jax.numpy as jnp
+        from jax import shard_map
         from jax.sharding import NamedSharding, PartitionSpec as P
-        from ..ops.scan import plane_codes
-        codes = plane_codes(self.db.targets, self.L, self.n_pad)
-        return jax.device_put(codes, NamedSharding(self.mesh, P(None, "db")))
+        from ..ops.scan import CODE_ROWS, PAD_CODE, split_words
+
+        n = self.db.num_targets
+        lo, hi = split_words(self.db.targets)
+        lo = np.pad(lo, (0, self.n_pad - n))
+        hi = np.pad(hi, (0, self.n_pad - n))
+        words = np.stack([lo, hi])                           # (2, n_pad) i32
+        words_d = jax.device_put(words,
+                                 NamedSharding(self.mesh, P(None, "db")))
+        L = self.L
+        shard_n = self.shard_n
+
+        def expand(words_local, shard_idx):
+            w_lo, w_hi = words_local[0], words_local[1]
+            rows = []
+            for i in range(L):
+                s = 2 * (L - 1 - i)  # bases never straddle the 32-bit split
+                w = w_lo if s < 32 else w_hi
+                rows.append(jax.lax.shift_right_logical(w, s % 32) & 3)
+            codes = jnp.stack(rows).astype(jnp.int8)         # (L, shard_n)
+            codes = jnp.pad(codes, ((0, CODE_ROWS - L), (0, 0)))
+            base = shard_idx[0].astype(jnp.int32) * shard_n
+            valid = base + jnp.arange(shard_n, dtype=jnp.int32) < n
+            return jnp.where(valid[None, :], codes, jnp.int8(PAD_CODE))
+
+        shard_ids = jax.device_put(
+            np.arange(self.D, dtype=np.int32),
+            NamedSharding(self.mesh, P("db")))
+        step = shard_map(expand, mesh=self.mesh,
+                         in_specs=(P(None, "db"), P("db")),
+                         out_specs=P(None, "db"), check_vma=False)
+        return jax.jit(step)(words_d, shard_ids)
 
     def _make_global(self, arr: np.ndarray, spec):
         """Host array -> global device array with the given PartitionSpec."""
