@@ -90,6 +90,59 @@ def pruned_comparisons(db: Database, guide_longs: np.ndarray,
     return total
 
 
+def pruned_comparisons_device(db: Database, guide_longs: np.ndarray,
+                              max_mismatch: int,
+                              guide_chunk: int = 8192) -> int:
+    """pruned_comparisons computed as (Gc, 4w) x (4w, 4^w) int8 matmuls on
+    the default jax device — the same one-hot contraction as the scan's
+    stage 1, so the O(bins x G) bookkeeping that costs ~49 s of host SWAR
+    at 10^5 guides (measured hg38-scale) runs in under a second. Exact:
+    int32 accumulation throughout (per-guide sums < 2^31; the cross-guide
+    sum is int64 on host). Every bin window lies inside the enzyme
+    comparison mask for all six packs, so the per-digit compare equals
+    bin_guide_mask's masked-long mismatch count (tests pin equality)."""
+    import jax
+    import jax.numpy as jnp
+    w = db.bin_width
+    num_bins = db.num_bins
+    counts = db.bin_target_counts().astype(np.int32)
+    p = db.pack
+    if p.five_prime_pam:
+        shift = 2 * (p.total_scan_length - (w + p.pam_length))
+    else:
+        shift = 2 * (p.total_scan_length - w)
+    digits = ((np.arange(num_bins, dtype=np.int64)[None, :]
+               >> (2 * (w - 1 - np.arange(w))[:, None])) & 3)       # (w, B)
+    bins_oh = (digits[:, None, :] ==
+               np.arange(4)[None, :, None]).reshape(4 * w, num_bins)
+
+    @jax.jit
+    def chunk_sums(g_oh, b_oh, cnt):
+        matches = jax.lax.dot(g_oh, b_oh,
+                              preferred_element_type=jnp.int32)     # (Gc, B)
+        ok = (w - matches <= max_mismatch).astype(jnp.int32)
+        return jax.lax.dot(ok, cnt, preferred_element_type=jnp.int32)
+
+    b_oh_d = jnp.asarray(bins_oh.astype(np.int8))
+    cnt_d = jnp.asarray(counts)
+    g = np.asarray(guide_longs, dtype=np.uint64)
+    total = 0
+    for lo in range(0, g.shape[0], guide_chunk):
+        gc = g[lo:lo + guide_chunk]
+        gd = ((gc[None, :] >> (np.uint64(shift)
+                               + 2 * (w - 1 - np.arange(w, dtype=np.uint64))[:, None]))
+              & np.uint64(3)).astype(np.int64)                      # (w, Gc)
+        g_oh = (gd[:, None, :] ==
+                np.arange(4)[None, :, None]).reshape(4 * w, -1).T   # (Gc, 4w)
+        if g_oh.shape[0] < guide_chunk:
+            g_oh = np.pad(g_oh, ((0, guide_chunk - g_oh.shape[0]), (0, 0)))
+        per_guide = np.asarray(chunk_sums(
+            jnp.asarray(g_oh.astype(np.int8)), b_oh_d, cnt_d))
+        total += int(per_guide[:min(guide_chunk, g.shape[0] - lo)]
+                     .astype(np.int64).sum())
+    return total
+
+
 def _scan_numpy(db: Database, guide_longs: np.ndarray, max_mismatch: int,
                 stats: ScanStats, bin_mask: Optional[np.ndarray],
                 chunk: int = 1 << 20):
@@ -294,7 +347,7 @@ def discover(db: Database, guide_sites: DiscoveredSites,
         # --forceLinear the numpy path skips the bin mask; mirror that.
         stats.all_comparisons = (
             stats.dense_comparisons if force_linear
-            else pruned_comparisons(db, guide_longs, max_mismatch))
+            else pruned_comparisons_device(db, guide_longs, max_mismatch))
     stats.scan_seconds = time.time() - t0
     return guides
 

@@ -178,3 +178,29 @@ def test_bin_guide_mask_lossless():
     dense = discover(db, gsites, max_mismatch=3, backend="numpy", force_linear=True)
     for a, b in zip(pruned, dense):
         assert [ot.sequence for ot in a.off_targets] == [ot.sequence for ot in b.off_targets]
+
+
+def test_pruned_comparisons_device_equals_host():
+    """The device (one-hot matmul) pruned counter must equal the host SWAR
+    version exactly for both PAM orientations."""
+    import numpy as np
+    from flashfry_tpu.database import build_database_from_sites
+    from flashfry_tpu.discovery import find_target_sites
+    from flashfry_tpu.engine import (pruned_comparisons,
+                                     pruned_comparisons_device)
+    from flashfry_tpu.standards import (Cas9NGGParameterPack,
+                                        Cpf1ParameterPack)
+
+    rng = np.random.default_rng(101)
+    genome = "".join("ACGT"[i] for i in rng.integers(0, 4, size=40000))
+    for pack in (Cas9NGGParameterPack, Cpf1ParameterPack):
+        sites = find_target_sites(iter([("chrT", genome)]), pack)
+        db = build_database_from_sites(sites, 7)
+        gsites = find_target_sites(iter([("g", genome[700:1900])]), pack)
+        if len(gsites) == 0:
+            continue
+        guides = np.asarray(gsites.sequences)
+        for mm in (3, 4, 5):
+            want = pruned_comparisons(db, guides, mm)
+            got = pruned_comparisons_device(db, guides, mm, guide_chunk=64)
+            assert got == want and want > 0, (pack.name, mm)

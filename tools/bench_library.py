@@ -42,7 +42,7 @@ def main():
     from flashfry_tpu.utils import iterate_fasta
 
     t_all = time.time()
-    db = bench.get_database()
+    db = bench.get_database(GENOME_MB)
     enc = db.bit_encoding()
 
     # guide library: N distinct sites sampled from the database, written as a
