@@ -103,6 +103,12 @@ def pruned_comparisons_device(db: Database, guide_longs: np.ndarray,
     bin_guide_mask's masked-long mismatch count (tests pin equality)."""
     import jax
     import jax.numpy as jnp
+    # per-guide sums accumulate in device int32; fail loudly rather than
+    # silently overflow the statistic on a >=2^31-target database (the host
+    # pruned_comparisons path is int64 throughout and has no such limit)
+    assert db.num_targets < 2 ** 31, \
+        "pruned_comparisons_device: %d targets overflows int32 per-guide " \
+        "sums; use pruned_comparisons (host) instead" % db.num_targets
     w = db.bin_width
     num_bins = db.num_bins
     counts = db.bin_target_counts().astype(np.int32)

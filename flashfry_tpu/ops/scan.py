@@ -502,13 +502,17 @@ class DeviceScanner:
         blocks = [(g_lo, min(n_guides, g_lo + block))
                   for g_lo in range(0, max(n_guides, 1), block)]
         key = int(max_mismatch)
-        self.cap, self.trip_cap = self._caps.get(key,
-                                                 (self._cap0, self._trip0))
+        # live caps are LOCAL to this scan generator (a mutable [cap,
+        # trip_cap] threaded through _scan_blocks/_dispatch_block), so two
+        # interleaved scan generators at different max_mismatch on one
+        # scanner cannot cross-contaminate each other's sticky caps; each
+        # persists its own escalations under its own mm key on exit.
+        caps = list(self._caps.get(key, (self._cap0, self._trip0)))
         try:
             if self.codes is not None:
                 yield from self._scan_blocks(g_all, blocks, max_mismatch,
                                              stats, block, self.codes, 0,
-                                             self.n)
+                                             self.n, caps)
                 return
             # streaming: ascending slabs outer, preserving per-guide order
             for t_lo in range(0, self.n, self.slab_n):
@@ -519,11 +523,11 @@ class DeviceScanner:
                 for t_idx, g_idx, mm in self._scan_blocks(
                         g_all, blocks, max_mismatch,
                         stats if t_lo == 0 else None, block,
-                        codes_d, t_lo, t_hi - t_lo):
+                        codes_d, t_lo, t_hi - t_lo, caps):
                     yield t_idx + t_lo, g_idx, mm
                 del codes_d
         finally:
-            self._caps[key] = (self.cap, self.trip_cap)
+            self._caps[key] = (caps[0], caps[1])
 
     PIPELINE_DEPTH = 3  # in-flight fused dispatches (double/triple buffering)
     FETCH_SLICE_MIN = 1 << 19  # buffers larger than this fetch count-first
@@ -559,7 +563,7 @@ class DeviceScanner:
                 (packed & 0xFF).astype(np.int8), count, overflow)
 
     def _dispatch_block(self, guide_longs: np.ndarray, max_mismatch: int,
-                        stats, pad_to: int, codes):
+                        stats, pad_to: int, codes, caps):
         """Launch one fixed-shape guide block asynchronously; returns
         (device buffer, caps used). jax dispatch is async, so successive
         blocks queue on the device and device->host fetches of earlier
@@ -578,13 +582,13 @@ class DeviceScanner:
             stats.dense_comparisons += self.n * G
         fused = _fused_scan_jit(self.L, self.n_act, max_mismatch,
                                 self.chunk, guide_oh.shape[0], n_chunks,
-                                self.cap, self.trip_cap, self.use_pallas)
+                                caps[0], caps[1], self.use_pallas)
         buf_d = fused(codes, jax.device_put(guide_oh), jax.device_put(n_active))
-        return buf_d, self.cap, self.trip_cap
+        return buf_d, caps[0], caps[1]
 
     def _scan_blocks(self, g_all: np.ndarray, blocks, max_mismatch: int,
                      stats, pad_to: int, codes, t_base: int,
-                     n_valid: int) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+                     n_valid: int, caps) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
         """All guide blocks against one resident code array, pipelined
         PIPELINE_DEPTH deep; yields blocks in order (global target-major per
         guide). On cap overflow, caps escalate STICKILY — the failed block
@@ -602,7 +606,7 @@ class DeviceScanner:
                     return
                 g_lo, g_hi = nxt
                 buf_d, cap, trip_cap = self._dispatch_block(
-                    g_all[g_lo:g_hi], max_mismatch, stats, pad_to, codes)
+                    g_all[g_lo:g_hi], max_mismatch, stats, pad_to, codes, caps)
                 pending.append((g_lo, g_hi, buf_d, trip_cap))
 
         fill()
@@ -618,13 +622,13 @@ class DeviceScanner:
                 # grow only the cap that actually tripped (growing the column
                 # cap also grows every chunk's compaction domain)
                 if overflow & 1:
-                    self.cap *= 4
+                    caps[0] *= 4
                 if (overflow & 2) or count > trip_cap:
-                    self.trip_cap *= 4
+                    caps[1] *= 4
                 if _attempt == MAX_RETRIES:
                     continue  # out of retries: fall through to the host scan
                 buf_d, _, trip_cap = self._dispatch_block(
-                    g_all[g_lo:g_hi], max_mismatch, None, pad_to, codes)
+                    g_all[g_lo:g_hi], max_mismatch, None, pad_to, codes, caps)
             else:
                 import logging
                 logging.getLogger(__name__).warning(

@@ -142,7 +142,12 @@ class ShardedScanner:
         self.chunk = chunk
         self.cap = cap
         self.trip_cap = trip_cap
+        import os
+        fsm = os.environ.get("FLASHFRY_TPU_FETCH_SLICE_MIN")
+        if fsm is not None:
+            self.FETCH_SLICE_MIN = int(fsm)  # tests force the two-phase path
         self._step_cache = {}
+        self._slice_cache = {}
         self.shard_n = -(-per_shard // chunk) * chunk   # targets per shard (padded)
         self.n_pad = self.shard_n * self.D
         self.codes = self._put_codes()
@@ -310,6 +315,28 @@ class ShardedScanner:
 
     FETCH_SLICE_MIN = 1 << 19  # per-shard slots; larger buffers fetch count-first
 
+    def _sliced(self, out_d, start: int, size: int, rows: int):
+        """Slice axis 2 to [0, rows) and axis 3 to [start, start+size) with
+        an EXPLICIT (db, guides) output sharding. Ad-hoc slicing of a
+        sharded global array lets XLA's sharding propagation pick the result
+        layout — if it replicated the tiny header slice,
+        MultiHostScanner._fetch's addressable-shard indexing (which assumes
+        db-axis sharding) would break in a true multi-process run. jit +
+        out_shardings pins it. Jits are memoized per (start, size, rows,
+        width): header + 64k-bucketed body slices form a bounded set."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        key = (start, size, rows, out_d.shape[3])
+        fn = self._slice_cache.get(key)
+        if fn is None:
+            fn = jax.jit(
+                lambda x: jax.lax.dynamic_slice_in_dim(
+                    x, start, size, axis=3)[:, :, :rows],
+                out_shardings=NamedSharding(
+                    self.mesh, P("db", "guides", None, None)))
+            self._slice_cache[key] = fn
+        return fn(out_d)
+
     def _parse_buffers(self, out_d, trip_cap):
         """Fetch the (D, Gx, 2, width) sharded buffers -> per-shard parsed
         tuples [(t_idx, g_idx, mm, count, overflow)].
@@ -327,7 +354,8 @@ class ShardedScanner:
             out = self._fetch(out_d)
             return [[parse_trip_buffer(out[s, q]) for q in range(self.Gx)]
                     for s in range(self.D)]
-        heads = self._fetch(out_d[:, :, :1, width - 2:])     # (D, Gx, 1, 2)
+        heads = self._fetch(
+            self._sliced(out_d, width - 2, 2, 1))            # (D, Gx, 1, 2)
         counts = heads[:, :, 0, 0].astype(np.int64)
         oflags = heads[:, :, 0, 1].astype(np.int64)
         bad = (oflags > 0) | (counts > trip_cap)
@@ -337,10 +365,8 @@ class ShardedScanner:
             return [[(z, z, z.astype(np.int8), int(counts[s, q]),
                       int(oflags[s, q]))
                      for q in range(self.Gx)] for s in range(self.D)]
-        import jax
         bucket = min(width - 2, -(-n_max // (1 << 16)) * (1 << 16))
-        body = self._fetch(
-            jax.lax.dynamic_slice_in_dim(out_d, 0, bucket, axis=3))
+        body = self._fetch(self._sliced(out_d, 0, bucket, 2))
         parsed = []
         for s in range(self.D):
             row = []

@@ -42,7 +42,12 @@ def _build_fixture(tmp_path):
     return db_path, guides_path, oracle
 
 
-def test_two_process_scan_matches_oracle(tmp_path):
+@pytest.mark.parametrize("fetch_slice_min", [None, "0"])
+def test_two_process_scan_matches_oracle(tmp_path, fetch_slice_min):
+    """fetch_slice_min=0 forces the two-phase count-first fetch (header
+    slice + bucketed body slice) across processes — certifying that the
+    explicitly-sharded slices keep db-axis sharding under jax.distributed
+    (round-3 advisor finding: this path was only exercised single-process)."""
     db_path, guides_path, oracle = _build_fixture(tmp_path)
     port = _free_port()
     out = str(tmp_path / "hits.npz")
@@ -52,6 +57,8 @@ def test_two_process_scan_matches_oracle(tmp_path):
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     env.pop("PALLAS_AXON_POOL_IPS", None)
+    if fetch_slice_min is not None:
+        env["FLASHFRY_TPU_FETCH_SLICE_MIN"] = fetch_slice_min
 
     procs = [
         subprocess.Popen(
