@@ -282,12 +282,17 @@ def discover(db: Database, guide_sites: DiscoveredSites,
              min_gc: float = 0.0, max_gc: float = 1.0,
              force_linear: bool = False,
              backend: str = "auto",
-             stats: Optional[ScanStats] = None) -> List[GuideWithOffTargets]:
+             stats: Optional[ScanStats] = None,
+             scanner=None) -> List[GuideWithOffTargets]:
     """Run the discover phase; returns guides in output order.
 
     Mirrors OffTargetDiscovery.run (modules/OffTargetDiscovery.scala:79-153):
     GC filter, guide sort by start, scan, per-guide OT aggregation with the
     2000-position overflow cap, in traversal order.
+
+    scanner: an existing DeviceScanner/ShardedScanner holding this database
+    resident on device — repeat discover calls (score sweeps, benches) skip
+    the multi-GB HBM upload. Ignored by the numpy backend.
     """
     if stats is None:
         stats = ScanStats()
@@ -336,6 +341,9 @@ def discover(db: Database, guide_sites: DiscoveredSites,
     t0 = time.time()
     if use_numpy:
         hit_iter = _scan_numpy(db, guide_longs, max_mismatch, stats, bmask)
+    elif scanner is not None:
+        assert scanner.db is db or scanner.db.num_targets == db.num_targets
+        hit_iter = scanner.scan(guide_longs, max_mismatch, bmask, stats)
     elif _device_count() > 1:
         # multi-chip: database sharded over the mesh's "db" axis, guide batch
         # data-parallel over "guides" (flashfry_tpu/parallel/mesh.py)

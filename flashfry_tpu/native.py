@@ -79,6 +79,11 @@ def _build_lib() -> Optional[ctypes.CDLL]:
                                         f64p, f64p, u8p]
     lib.ff_rnafold_mfe_batch.restype = i64
     lib.ff_rnafold_mfe_batch.argtypes = [i32p, u8p, i64p, i64, i32, i32p]
+    lib.ff_score_ots.restype = i64
+    lib.ff_score_ots.argtypes = [u64p, i64p, i64, u64p, i64, i32,
+                                 i32p, i32,
+                                 f64p, f64p, f64p, f64p, i32, f64p, i32,
+                                 f64p, f64p, f64p, u8p]
     return lib
 
 
@@ -330,6 +335,64 @@ def rnafold_mfe_batch(params_blob: np.ndarray, seq_codes: np.ndarray,
         _ptr(out, ctypes.c_int32))
     if rc != 0:
         return None
+    return out
+
+
+def score_ots(flat: np.ndarray, gi: np.ndarray, glongs: np.ndarray, L: int,
+              act_pos: np.ndarray,
+              cfd_tables=None, hsu_tables=None, jost_tables=None):
+    """Fused per-OT activity scores (ff_score_ots). Any of the three model
+    table tuples may be None to skip that column:
+      cfd_tables  = (mm_table (4,4,20) f64, pam_table (4,4) f64)
+      hsu_tables  = (one_minus (gs,) f64, pam_table (4,4) f64)
+      jost_tables = (table (19,4,4) f64, plo int)
+    Returns dict with 'differs' u8[N] plus 'cfd'/'hsu'/'jost' f64[N] for the
+    requested models, or None when the native library is unavailable."""
+    lib = get_native()
+    if lib is None:
+        return None
+    n = int(flat.shape[0])
+    flat = np.ascontiguousarray(flat, dtype=np.uint64)
+    gi = np.ascontiguousarray(gi, dtype=np.int64)
+    glongs = np.ascontiguousarray(glongs, dtype=np.uint64)
+    act_pos = np.ascontiguousarray(act_pos, dtype=np.int32)
+    dp = ctypes.POINTER(ctypes.c_double)
+    null = ctypes.cast(None, dp)
+    out = {"differs": np.empty(n, dtype=np.uint8)}
+    cfd_mm = cfd_pam = hsu_om = hsu_pam = jost_t = null
+    cfd_o = hsu_o = jost_o = null
+    hsu_gs, jost_lo = 0, 0
+    # keep the contiguous table copies alive across the call
+    keep = []
+    if cfd_tables is not None:
+        mm_t = np.ascontiguousarray(cfd_tables[0], dtype=np.float64)
+        pam_t = np.ascontiguousarray(cfd_tables[1], dtype=np.float64)
+        keep += [mm_t, pam_t]
+        cfd_mm, cfd_pam = _ptr(mm_t, ctypes.c_double), _ptr(pam_t, ctypes.c_double)
+        out["cfd"] = np.empty(n, dtype=np.float64)
+        cfd_o = _ptr(out["cfd"], ctypes.c_double)
+    if hsu_tables is not None:
+        om_t = np.ascontiguousarray(hsu_tables[0], dtype=np.float64)
+        pam_t = np.ascontiguousarray(hsu_tables[1], dtype=np.float64)
+        keep += [om_t, pam_t]
+        hsu_om, hsu_pam = _ptr(om_t, ctypes.c_double), _ptr(pam_t, ctypes.c_double)
+        hsu_gs = int(om_t.shape[0])
+        out["hsu"] = np.empty(n, dtype=np.float64)
+        hsu_o = _ptr(out["hsu"], ctypes.c_double)
+    if jost_tables is not None:
+        j_t = np.ascontiguousarray(jost_tables[0], dtype=np.float64)
+        keep.append(j_t)
+        jost_t = _ptr(j_t, ctypes.c_double)
+        jost_lo = int(jost_tables[1])
+        out["jost"] = np.empty(n, dtype=np.float64)
+        jost_o = _ptr(out["jost"], ctypes.c_double)
+    lib.ff_score_ots(
+        _ptr(flat, ctypes.c_uint64), _ptr(gi, ctypes.c_int64), n,
+        _ptr(glongs, ctypes.c_uint64), int(glongs.shape[0]), L,
+        _ptr(act_pos, ctypes.c_int32), int(act_pos.shape[0]),
+        cfd_mm, cfd_pam, hsu_om, hsu_pam, hsu_gs, jost_t, jost_lo,
+        cfd_o, hsu_o, jost_o, _ptr(out["differs"], ctypes.c_uint8))
+    del keep
     return out
 
 

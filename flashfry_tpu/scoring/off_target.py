@@ -103,12 +103,14 @@ class Doench2016CFDScore(SingleGuideScoreModel):
         self._enc = bit_encoding
 
     def score_guides(self, guides, bit_enc, pos_enc, pack) -> None:
-        """Batched scoring: ONE table gather + row product over every
-        guide's whole OT set at once (see base.flatten_guide_ots), then a
-        tiny per-guide fold that reproduces score_guide bit-for-bit (the
-        per-guide sums stay Python left-folds to match Scala's List.sum
-        ordering; per-OT products use the identical multiply.reduce)."""
+        """Batched scoring: ONE backend-dispatched per-OT pass over every
+        guide's whole OT set at once (scoring/otbatch.py: numpy oracle /
+        fused native kernel / device descriptor extraction — all
+        bit-identical), then a tiny per-guide fold that reproduces
+        score_guide bit-for-bit (the per-guide sums stay strict left-folds
+        to match Scala's List.sum ordering)."""
         from .base import MISSING_ANNOTATION, flatten_guide_ots
+        from .otbatch import get_batch
         assert self._enc is not None, "Our bitEncoder has not been set"
         scorable = []
         for g in guides:
@@ -124,28 +126,17 @@ class Doench2016CFDScore(SingleGuideScoreModel):
         flat, offsets = flatten_guide_ots(scorable)
         glongs = np.fromiter((g.long_encoding for g in scorable),
                              np.uint64, len(scorable))
-        gcodes = longs_to_codes(glongs & STRING_MASK, 23)
         gi = np.repeat(np.arange(len(scorable)), np.diff(offsets))
 
-        n_flat = flat.shape[0]
-        score_a = np.empty(n_flat, dtype=np.float64)
-        sel_a = np.empty(n_flat, dtype=np.uint8)
-        w_a = np.empty(n_flat, dtype=np.float64)
-        pos20 = np.arange(20)[None, :]
-        CH = 1 << 18  # flat chunks: small temporaries get reused by the allocator
-        # (fresh multi-hundred-MB blocks fault in at ~20-60 MB/s here)
-        for lo in range(0, n_flat, CH):
-            hi = min(n_flat, lo + CH)
-            oc = _ot_codes(flat[lo:hi], 23)
-            gext = gcodes[gi[lo:hi], :20]
-            sel = (oc[:, :20] != gext).any(axis=1)
-            vals = self._mm_table[gext, oc[:, :20], pos20]
-            assert not np.isnan(vals[sel]).any(), "Missing CFD table key"
-            cand = np.multiply.reduce(vals, axis=1)
-            score = self._pam_table[oc[:, 21], oc[:, 22]] * cand
-            score_a[lo:hi] = score
-            sel_a[lo:hi] = sel
-            w_a[lo:hi] = score * (flat[lo:hi] >> np.uint64(48)).astype(np.float64)
+        batch = get_batch(flat, gi, glongs, 23,
+                          np.asarray(sorted(pack.comparison_mask_positions()),
+                                     np.int32))
+        # sel: exclude exact-guide-sequence hits (Doench2016CFDScore.scala:67)
+        # == any mismatch at the 20 guide positions == the mask-differs flag
+        score_a, sel_a = batch.cfd(self._mm_table, self._pam_table)
+        assert not np.isnan(score_a[sel_a.astype(bool)]).any(), \
+            "Missing CFD table key"
+        w_a = score_a * (flat >> np.uint64(48)).astype(np.float64)
 
         from .base import segment_fold
         sums, maxs, anys = segment_fold(score_a, w_a, sel_a, offsets)
@@ -277,38 +268,20 @@ class CrisprMitEduOffTarget(SingleGuideScoreModel):
         flat, offsets = flatten_guide_ots(scorable)
         glongs = np.fromiter((g.long_encoding for g in scorable),
                              np.uint64, len(scorable))
-        gcodes = longs_to_codes(glongs & STRING_MASK, 23)
         gi = np.repeat(np.arange(len(scorable)), np.diff(offsets))
 
-        n_flat = flat.shape[0]
-        score_a = np.empty(n_flat, dtype=np.float64)
-        keep_a = np.empty(n_flat, dtype=np.uint8)
-        GS = self.GUIDE_SIZE
-        CH = 1 << 18
-        for lo in range(0, n_flat, CH):
-            hi = min(n_flat, lo + CH)
-            oc = _ot_codes(flat[lo:hi], 23)
-            M = oc[:, :GS] != gcodes[gi[lo:hi], :GS]
-            mmc = M.sum(axis=1)
-            part_one = np.multiply.reduce(
-                np.where(M, self._one_minus[None, :], 1.0), axis=1)
-            first = np.argmax(M, axis=1)
-            last = (GS - 1) - np.argmax(M[:, ::-1], axis=1)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                avg_dist = (last - first) / np.maximum(mmc - 1, 1).astype(np.float64)
-            part_two = np.where(mmc < 2, 1.0,
-                                1.0 / ((((19.0 - avg_dist) / 19.0) * 4.0) + 1.0))
-            mmf = mmc.astype(np.float64)
-            with np.errstate(divide="ignore"):
-                part_three = np.where(mmc == 0, 1.0, 1.0 / (mmf * mmf))
-            total = part_one * part_two * part_three * 100.0
-            pam = self._pam_table[oc[:, self.PAM_START], oc[:, self.PAM_STOP - 1]]
-            score_a[lo:hi] = total * pam
-            if self.consider_on_target:
-                keep_a[lo:hi] = 1
-            else:
-                mm = self._enc.mismatches(flat[lo:hi], glongs[gi[lo:hi]])
-                keep_a[lo:hi] = mm != 0
+        from .otbatch import get_batch
+        batch = get_batch(flat, gi, glongs, 23,
+                          np.asarray(sorted(pack.comparison_mask_positions()),
+                                     np.int32))
+        score_a, differs = batch.hsu(self._one_minus, self._pam_table,
+                                     self.GUIDE_SIZE)
+        if self.consider_on_target:
+            keep_a = np.ones(flat.shape[0], dtype=np.uint8)
+        else:
+            # on-target exclusion == mismatches(ot, guide) != 0 under the
+            # enzyme mask == the mask-differs flag
+            keep_a = differs
 
         from .base import segment_fold
         sums, _, _ = segment_fold(score_a, score_a, keep_a, offsets)
@@ -440,27 +413,16 @@ class JostAndSantosCRISPRi(SingleGuideScoreModel):
         flat, offsets = flatten_guide_ots(scorable)
         glongs = np.fromiter((g.long_encoding for g in scorable),
                              np.uint64, len(scorable))
-        gcodes = longs_to_codes(glongs & STRING_MASK, L)
         gi = np.repeat(np.arange(len(scorable)), np.diff(offsets))
 
-        n_flat = flat.shape[0]
-        score_a = np.empty(n_flat, dtype=np.float64)
-        sel_a = np.empty(n_flat, dtype=np.uint8)
-        w_a = np.empty(n_flat, dtype=np.float64)
-        pos19 = np.arange(19)[None, :]
-        CH = 1 << 18
-        for clo in range(0, n_flat, CH):
-            chi = min(n_flat, clo + CH)
-            oc = _ot_codes(flat[clo:chi], L)
-            gext = gcodes[gi[clo:chi], plo:plo + 19]
-            mm = self._enc.mismatches(flat[clo:chi], glongs[gi[clo:chi]])
-            sel = mm > 0
-            vals = self._table[pos19, oc[:, plo:plo + 19], gext]
-            assert not np.isnan(vals[sel]).any(), "Missing Jost&Santos table key"
-            score = np.multiply.reduce(vals, axis=1)
-            score_a[clo:chi] = score
-            sel_a[clo:chi] = sel
-            w_a[clo:chi] = score * (flat[clo:chi] >> np.uint64(48)).astype(np.float64)
+        from .otbatch import get_batch
+        batch = get_batch(flat, gi, glongs, L,
+                          np.asarray(sorted(pack.comparison_mask_positions()),
+                                     np.int32))
+        score_a, sel_a = batch.jost(self._table, plo)
+        assert not np.isnan(score_a[sel_a.astype(bool)]).any(), \
+            "Missing Jost&Santos table key"
+        w_a = score_a * (flat >> np.uint64(48)).astype(np.float64)
 
         from .base import segment_fold
         sums, maxs, anys = segment_fold(score_a, w_a, sel_a, offsets)

@@ -490,6 +490,103 @@ void ff_segment_fold_f64(const double* vals, const double* weights,
     }
 }
 
+// Batched per-off-target activity scores: Doench 2016 CFD, Hsu 2013 and
+// Jost&Santos, fused into one pass over the flat OT array.
+//
+// This is the host fast path of the scoring layer (reference walks each OT
+// string character by character, Doench2016CFDScore.scala:132-151,
+// CrisprMitEduOffTarget.scala:107-148, JostAndSantosCRISPRi.scala:92-127);
+// any model pointer may be null to skip that column. BIT-EXACT parity
+// contract with the numpy oracle: every per-OT product is accumulated in
+// strict left-to-right position order (numpy's multiply.reduce order, 1.0
+// factors included), and the Hsu sub-expressions follow the oracle's exact
+// operation order — formatted doubles depend on the last ulp.
+//
+// flat:   n packed off-target longs (count in bits 48+, sequence low 48);
+// gi:     n guide indices into glongs;
+// glongs: n_guides packed guide longs; L: scan length (bases);
+// act_pos/act_n: enzyme comparison-mask positions (PAM excluded) — differs
+//   is the "any mismatch at active positions" flag all three models select
+//   on (equals mismatches(flat, guide) != 0 under the enzyme mask);
+// cfd_mm: (4 guide, 4 ot, 20 pos) activity, identity=1.0; cfd_pam: (4,4)
+//   by the last two PAM bases; hsu_one_minus: (hsu_gs,) 1-coeff;
+//   hsu_pam: (4,4); jost_tab: (19 pos, 4 ot, 4 guide), jost_lo = first
+//   sequence position keyed as position 1.
+// Returns 0.
+int64_t ff_score_ots(const uint64_t* flat, const int64_t* gi, int64_t n,
+                     const uint64_t* glongs, int64_t n_guides, int32_t L,
+                     const int32_t* act_pos, int32_t act_n,
+                     const double* cfd_mm, const double* cfd_pam,
+                     const double* hsu_one_minus, const double* hsu_pam,
+                     int32_t hsu_gs,
+                     const double* jost_tab, int32_t jost_lo,
+                     double* cfd_out, double* hsu_out, double* jost_out,
+                     uint8_t* differs_out) {
+    const uint64_t kSeqMask = 0xFFFFFFFFFFFFULL;
+    // decode every guide once: gcode[g][p] = base code at position p
+    std::vector<uint8_t> gcodes((size_t)n_guides * L);
+    for (int64_t g = 0; g < n_guides; ++g) {
+        uint64_t s = glongs[g] & kSeqMask;
+        for (int32_t p = 0; p < L; ++p)
+            gcodes[(size_t)g * L + p] =
+                (uint8_t)((s >> (2 * (L - 1 - p))) & 3);
+    }
+    #ifdef _OPENMP
+    #pragma omp parallel for schedule(static)
+    #endif
+    for (int64_t i = 0; i < n; ++i) {
+        uint64_t s = flat[i] & kSeqMask;
+        uint8_t oc[32];
+        for (int32_t p = 0; p < L; ++p)
+            oc[p] = (uint8_t)((s >> (2 * (L - 1 - p))) & 3);
+        const uint8_t* gc = &gcodes[(size_t)gi[i] * L];
+        uint8_t differs = 0;
+        for (int32_t k = 0; k < act_n; ++k)
+            if (oc[act_pos[k]] != gc[act_pos[k]]) { differs = 1; break; }
+        differs_out[i] = differs;
+        if (cfd_mm) {
+            double acc = 1.0;
+            for (int32_t p = 0; p < 20; ++p)
+                acc = acc * cfd_mm[((size_t)gc[p] * 4 + oc[p]) * 20 + p];
+            // pam FIRST then candidate product (score = pam * cand, the
+            // oracle's multiply order)
+            cfd_out[i] = cfd_pam[(size_t)oc[L - 2] * 4 + oc[L - 1]] * acc;
+        }
+        if (hsu_one_minus) {
+            int32_t mmc = 0, first = 0, last = hsu_gs - 1;
+            double p1 = 1.0;
+            for (int32_t p = 0; p < hsu_gs; ++p) {
+                bool m = oc[p] != gc[p];
+                if (m) {
+                    if (!mmc) first = p;
+                    last = p;
+                    ++mmc;
+                }
+                p1 = p1 * (m ? hsu_one_minus[p] : 1.0);
+            }
+            // no-mismatch rows keep (first=0, last=hsu_gs-1) — the oracle's
+            // argmax-of-all-false quirk — but mmc<2 forces p2=p3=1.0 anyway
+            double avg_dist =
+                (double)(last - first) / (double)(mmc - 1 > 1 ? mmc - 1 : 1);
+            double p2 = mmc < 2
+                ? 1.0
+                : 1.0 / ((((19.0 - avg_dist) / 19.0) * 4.0) + 1.0);
+            double mmf = (double)mmc;
+            double p3 = mmc == 0 ? 1.0 : 1.0 / (mmf * mmf);
+            double total = p1 * p2 * p3 * 100.0;
+            hsu_out[i] = total * hsu_pam[(size_t)oc[L - 2] * 4 + oc[L - 1]];
+        }
+        if (jost_tab) {
+            double acc = 1.0;
+            for (int32_t p = 0; p < 19; ++p)
+                acc = acc * jost_tab[((size_t)p * 4 + oc[jost_lo + p]) * 4 +
+                                     gc[jost_lo + p]];
+            jost_out[i] = acc;
+        }
+    }
+    return 0;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
