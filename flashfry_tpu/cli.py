@@ -42,6 +42,16 @@ def _add_discover(sub):
     p.add_argument("--maxGC", "-maxGC", type=float, default=1.0)
     p.add_argument("--backend", default="auto", choices=["auto", "numpy", "jax"],
                    help="scan backend (TPU-specific extension)")
+    # multi-host scale-out (TPU-build extension, SURVEY §5.8): run the SAME
+    # discover command once per host with --coordinator/--numProcesses/
+    # --processId; the database's device planes shard across hosts (each
+    # host uploads only its slab) and process 0 writes the output.
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host: jax.distributed coordinator host:port")
+    p.add_argument("--numProcesses", type=int, default=None,
+                   help="multi-host: total number of processes")
+    p.add_argument("--processId", type=int, default=None,
+                   help="multi-host: this process's id (0-based)")
     return p
 
 
@@ -128,6 +138,27 @@ def cmd_discover(args) -> None:
 
     assert 0.0 <= args.minGC <= 1.0 and 0.0 <= args.maxGC <= 1.0
     db = load_database(args.database)
+
+    scanner = None
+    is_main = True
+    backend = args.backend
+    if args.coordinator is not None:
+        # multi-host: every process runs the identical SPMD program over the
+        # global (db, guides) mesh; the triplet buffers are allgathered so
+        # every process reconstructs the same hit set, and process 0 writes
+        assert args.numProcesses is not None and args.processId is not None, \
+            "--coordinator requires --numProcesses and --processId"
+        from .parallel import multihost
+        multihost.initialize(args.coordinator, args.numProcesses,
+                             args.processId)
+        import jax
+        is_main = jax.process_index() == 0
+        scanner = multihost.MultiHostScanner(
+            db, mesh=multihost.make_global_mesh())
+        backend = "jax"
+        logger.info("multi-host discover: process %d/%d, %d devices",
+                    args.processId, args.numProcesses, len(jax.devices()))
+
     logger.info("Reading the input fasta and scanning for candidate guides...")
     gsites = find_target_sites(iterate_fasta(args.fasta), db.pack,
                                flanking_sequence=args.flankingSequence,
@@ -139,12 +170,15 @@ def cmd_discover(args) -> None:
                       maximum_off_targets=args.maximumOffTargets,
                       min_gc=args.minGC, max_gc=args.maxGC,
                       force_linear=args.forceLinear,
-                      backend=args.backend,
-                      stats=stats)
+                      backend=backend,
+                      stats=stats,
+                      scanner=scanner)
     logger.info("Performed a total of %s guide to target comparisons in %.3fs",
                 format(stats.all_comparisons, ","), stats.scan_seconds)
-    write_output(args.output, guides, db.bit_encoding(), db.bit_position(),
-                 models=(), write_ots=True, write_positions=args.positionOutput)
+    if is_main:
+        write_output(args.output, guides, db.bit_encoding(), db.bit_position(),
+                     models=(), write_ots=True,
+                     write_positions=args.positionOutput)
 
 
 def cmd_score(args) -> None:

@@ -128,10 +128,16 @@ def run_worker(coordinator_address: str, num_processes: int, process_id: int,
     guides = np.load(guides_path)["guides"].astype(np.uint64)
     mesh = make_global_mesh()
     scanner = MultiHostScanner(db, mesh=mesh, use_pallas=False)
-    rows = [(int(t), int(g), int(m))
-            for ts, gs, ms in scanner.scan(guides, max_mismatch)
-            for t, g, m in zip(ts, gs, ms)]
-    hits = np.array(rows, dtype=np.int64).reshape(-1, 3)
+    ts, gs, ms = [], [], []
+    for t, g, m in scanner.scan(guides, max_mismatch):
+        ts.append(np.asarray(t, dtype=np.int64))
+        gs.append(np.asarray(g, dtype=np.int64))
+        ms.append(np.asarray(m, dtype=np.int64))
+    if ts:
+        hits = np.column_stack([np.concatenate(ts), np.concatenate(gs),
+                                np.concatenate(ms)])
+    else:
+        hits = np.zeros((0, 3), dtype=np.int64)
     import jax
     if out_path and jax.process_index() == 0:
         np.savez(out_path, hits=hits)

@@ -76,3 +76,56 @@ def test_two_process_scan_matches_oracle(tmp_path, fetch_slice_min):
     hits = np.load(out)["hits"]
     got = sorted(map(tuple, hits.tolist()))
     assert got == oracle
+
+
+def test_discover_cli_two_process_byte_identical(tmp_path):
+    """The PRODUCT multi-host path: `discover --coordinator ...` run once
+    per process must produce byte-identical output to a single-process
+    discover (process 0 writes; the scan shards the database across the
+    processes' devices and allgathers the triplet buffers)."""
+    db_path, guides_path, _ = _build_fixture(tmp_path)
+    guides = np.load(guides_path)["guides"]
+
+    from flashfry_tpu.bitcoding import BitEncoding
+    from flashfry_tpu.standards import Cas9NGGParameterPack
+    enc = BitEncoding(Cas9NGGParameterPack)
+    seqs = [enc.decode(np.uint64(g))[0] for g in guides]
+    fasta = str(tmp_path / "guides.fasta")
+    with open(fasta, "w") as fh:
+        fh.write("".join(">g%d\n%s\n" % (i, s) for i, s in enumerate(seqs)))
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ROOT
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+
+    # single-process reference output (numpy backend oracle)
+    ref_out = str(tmp_path / "single.out")
+    r = subprocess.run(
+        [sys.executable, "-m", "flashfry_tpu", "discover",
+         "--fasta", fasta, "--database", db_path, "--output", ref_out,
+         "--positionOutput", "--backend", "numpy"],
+        env=env, capture_output=True)
+    assert r.returncode == 0, r.stderr.decode()[-3000:]
+
+    port = _free_port()
+    mh_out = str(tmp_path / "multihost.out")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "flashfry_tpu", "discover",
+             "--fasta", fasta, "--database", db_path, "--output", mh_out,
+             "--positionOutput",
+             "--coordinator", "localhost:%d" % port,
+             "--numProcesses", "2", "--processId", str(pid)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for pid in (0, 1)]
+    outs = [p.communicate(timeout=560) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, se.decode()[-3000:]
+
+    with open(ref_out, "rb") as fh:
+        want = fh.read()
+    with open(mh_out, "rb") as fh:
+        got = fh.read()
+    assert got == want, "multi-host discover output diverges from single-process"
