@@ -337,6 +337,26 @@ DEFAULT_CHUNK = 1 << 23
 DEFAULT_CAP = 1 << 12   # max stage-1 hit targets per chunk
 TRIPLET_CAP = 1 << 17   # max (guide, target) hit pairs per fused block scan
 MAX_RETRIES = 3         # cap-doubling retries before the exact host fallback
+COL_CAP_MAX = 1 << 16   # ceiling: stage-2 (col_cap, G) f32 = 256 MB at G=1024
+TRIP_CAP_MAX = 1 << 25  # ceiling: 268 MB triplet buffer per in-flight block
+
+
+def interleaved_blocks(n_guides: int, block: int):
+    """Deal guide indices round-robin into ceil(n/block) blocks.
+
+    Guide batches often arrive SEQUENCE-SORTED (library FASTAs decoded from
+    a sorted database, bench samples), which packs whole repeat families —
+    hundreds of near-identical guides — into single contiguous blocks: that
+    block's stage-1 hit-column and triplet counts explode while every other
+    block idles (measured: a 100k-guide hg38-scale library run escalated
+    col_cap to 2^20 and OOM'd HBM on the 4 GB stage-2 matrix). Round-robin
+    dealing spreads any sorted hot cluster evenly across blocks. Per-guide
+    output order is unaffected: each guide lives in exactly one block and
+    yields its hits target-major; the collector re-groups by guide index.
+    """
+    n_blocks = max(1, -(-max(n_guides, 1) // block))
+    return [np.arange(b, n_guides, n_blocks, dtype=np.int64)
+            for b in range(n_blocks)]
 
 
 def hbm_budget_bytes() -> int:
@@ -436,6 +456,9 @@ class DeviceScanner:
         if use_pallas and chunk % T_TILE:
             chunk = max(T_TILE, (chunk // T_TILE) * T_TILE)
         self.chunk = chunk
+        # chunk may shrink when col_cap hits its ceiling (see _scan_blocks);
+        # it must remain a T_TILE multiple that divides the padded width
+        self._min_chunk = T_TILE if use_pallas else (1 << 16)
         self.cap = cap
         # caps escalate stickily PER max_mismatch: an mm=5 scan needs ~10x
         # the column/triplet caps of mm=4, and leaving them escalated would
@@ -499,8 +522,7 @@ class DeviceScanner:
         block = 128
         while block < n_guides and block < 1024:
             block *= 2
-        blocks = [(g_lo, min(n_guides, g_lo + block))
-                  for g_lo in range(0, max(n_guides, 1), block)]
+        blocks = interleaved_blocks(n_guides, block)
         key = int(max_mismatch)
         # live caps are LOCAL to this scan generator (a mutable [cap,
         # trip_cap] threaded through _scan_blocks/_dispatch_block), so two
@@ -589,56 +611,66 @@ class DeviceScanner:
     def _scan_blocks(self, g_all: np.ndarray, blocks, max_mismatch: int,
                      stats, pad_to: int, codes, t_base: int,
                      n_valid: int, caps) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
-        """All guide blocks against one resident code array, pipelined
-        PIPELINE_DEPTH deep; yields blocks in order (global target-major per
-        guide). On cap overflow, caps escalate STICKILY — the failed block
-        retries synchronously and every later block dispatches straight at
-        the size that worked (each size compiles once, persistently cached);
-        after MAX_RETRIES, that block falls back to the exact host scan."""
+        """All guide blocks (index arrays) against one resident code array,
+        pipelined PIPELINE_DEPTH deep; yields hits with global guide indices
+        (target-major per guide). On cap overflow, caps escalate STICKILY up
+        to COL_CAP_MAX/TRIP_CAP_MAX — the failed block retries synchronously
+        and every later block dispatches straight at the size that worked
+        (each size compiles once, persistently cached). A column overflow at
+        COL_CAP_MAX shrinks the CHUNK instead (columns per chunk scale with
+        chunk; the stage-2 (col_cap, G) domain must stay HBM-bounded); after
+        MAX_RETRIES, the block falls back to the exact host scan."""
         from collections import deque
         pending = deque()
         it = iter(blocks)
 
         def fill():
             while len(pending) < self.PIPELINE_DEPTH:
-                nxt = next(it, None)
-                if nxt is None:
+                idx = next(it, None)
+                if idx is None:
                     return
-                g_lo, g_hi = nxt
                 buf_d, cap, trip_cap = self._dispatch_block(
-                    g_all[g_lo:g_hi], max_mismatch, stats, pad_to, codes, caps)
-                pending.append((g_lo, g_hi, buf_d, trip_cap))
+                    g_all[idx], max_mismatch, stats, pad_to, codes, caps)
+                pending.append((idx, buf_d, trip_cap))
+
+        def escalate(overflow, count, trip_cap):
+            import logging
+            if overflow & 1:
+                if caps[0] < COL_CAP_MAX:
+                    caps[0] = min(caps[0] * 4, COL_CAP_MAX)
+                elif self.chunk > self._min_chunk:
+                    self.chunk = max(self.chunk // 4, self._min_chunk)
+                    logging.getLogger(__name__).info(
+                        "col cap at ceiling %d: shrinking chunk to %d",
+                        caps[0], self.chunk)
+            if (overflow & 2) or count > trip_cap:
+                caps[1] = min(caps[1] * 4, TRIP_CAP_MAX)
 
         fill()
         while pending:
-            g_lo, g_hi, buf_d, trip_cap = pending.popleft()
+            idx, buf_d, trip_cap = pending.popleft()
             for _attempt in range(1 + MAX_RETRIES):
                 t_idx, g_idx, mm, count, overflow = self._fetch_triplets(
                     buf_d, trip_cap)
                 if not overflow and count <= trip_cap:
                     if count:
-                        yield t_idx, g_idx + g_lo, mm
+                        yield t_idx, idx[g_idx], mm
                     break
-                # grow only the cap that actually tripped (growing the column
-                # cap also grows every chunk's compaction domain)
-                if overflow & 1:
-                    caps[0] *= 4
-                if (overflow & 2) or count > trip_cap:
-                    caps[1] *= 4
+                escalate(overflow, count, trip_cap)
                 if _attempt == MAX_RETRIES:
                     continue  # out of retries: fall through to the host scan
                 buf_d, _, trip_cap = self._dispatch_block(
-                    g_all[g_lo:g_hi], max_mismatch, None, pad_to, codes, caps)
+                    g_all[idx], max_mismatch, None, pad_to, codes, caps)
             else:
                 import logging
                 logging.getLogger(__name__).warning(
-                    "device scan caps exhausted after %d retries for guide "
-                    "block [%d, %d); running the exact host fallback (slow)",
-                    MAX_RETRIES, g_lo, g_hi)
+                    "device scan caps exhausted after %d retries for a "
+                    "%d-guide block; running the exact host fallback (slow)",
+                    MAX_RETRIES, idx.shape[0])
                 for t_idx, g_idx, mm in self._host_scan(
-                        g_all[g_lo:g_hi], max_mismatch,
+                        g_all[idx], max_mismatch,
                         t_base=t_base, n_valid=n_valid):
-                    yield t_idx, g_idx + g_lo, mm
+                    yield t_idx, idx[g_idx], mm
             fill()
 
     def _host_scan(self, guide_longs, max_mismatch,

@@ -264,34 +264,35 @@ class ShardedScanner:
         stickily so later blocks dispatch straight at the size that worked."""
         from collections import deque
 
+        from ..ops.scan import interleaved_blocks
         g_all = np.asarray(guide_longs, dtype=np.uint64)
         n_guides = g_all.shape[0]
         block = 128 * self.Gx
         while block < n_guides and block < 1024 * self.Gx:
             block *= 2
-        blocks = [(g_lo, min(n_guides, g_lo + block))
-                  for g_lo in range(0, max(n_guides, 1), block)]
+        # round-robin dealing: sorted hot guide clusters (repeat families)
+        # spread across blocks instead of exploding one block's caps
+        blocks = interleaved_blocks(n_guides, block)
         pending = deque()
         it = iter(blocks)
 
         def fill():
             while len(pending) < self.PIPELINE_DEPTH:
-                nxt = next(it, None)
-                if nxt is None:
+                idx = next(it, None)
+                if idx is None:
                     return
-                g_lo, g_hi = nxt
-                self._record("dispatch", g_lo)
-                out_d, trip_cap = self._dispatch(g_all[g_lo:g_hi], max_mismatch,
+                self._record("dispatch", int(idx[0]) if idx.size else 0)
+                out_d, trip_cap = self._dispatch(g_all[idx], max_mismatch,
                                                  stats, block)
-                pending.append((g_lo, g_hi, out_d, trip_cap))
+                pending.append((idx, out_d, trip_cap))
 
         fill()
         while pending:
-            g_lo, g_hi, out_d, trip_cap = pending.popleft()
-            self._record("fetch", g_lo)
+            idx, out_d, trip_cap = pending.popleft()
+            self._record("fetch", int(idx[0]) if idx.size else 0)
             for t_idx, g_idx, mm in self._collect_block(
-                    g_all[g_lo:g_hi], max_mismatch, block, out_d, trip_cap):
-                yield t_idx, g_idx + g_lo, mm
+                    g_all[idx], max_mismatch, block, out_d, trip_cap):
+                yield t_idx, idx[g_idx], mm
             fill()
 
     def _dispatch(self, guide_longs, max_mismatch, stats, pad_to):
@@ -402,11 +403,12 @@ class ShardedScanner:
                         if count:
                             yield (t_idx + base_t, g_idx + q * g_local, mm)
                 return
-            # sticky + selective escalation (see DeviceScanner)
+            # sticky + selective escalation, HBM-bounded (see DeviceScanner)
+            from ..ops.scan import COL_CAP_MAX, TRIP_CAP_MAX
             if col_of:
-                self.cap *= 4
+                self.cap = min(self.cap * 4, COL_CAP_MAX)
             if trip_of:
-                self.trip_cap *= 4
+                self.trip_cap = min(self.trip_cap * 4, TRIP_CAP_MAX)
             if _attempt == MAX_RETRIES:
                 break  # out of retries: exact host fallback below
             out_d, trip_cap = self._dispatch(guide_longs, max_mismatch, None,

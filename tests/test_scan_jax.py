@@ -270,3 +270,55 @@ def test_caps_escalate_per_max_mismatch():
     assert sc._caps[8][1] > sc._trip0
     n4_trip0_before = sc._caps.get(4, (sc._cap0, sc._trip0))[1]
     assert n4_trip0_before == sc._trip0  # mm=4 caps untouched by mm=8
+
+
+def test_interleaved_blocks_shape_and_coverage():
+    from flashfry_tpu.ops.scan import interleaved_blocks
+    for n, block in [(0, 128), (1, 128), (128, 128), (129, 128), (1000, 128)]:
+        blocks = interleaved_blocks(n, block)
+        flat = np.concatenate(blocks) if blocks else np.zeros(0, np.int64)
+        assert sorted(flat.tolist()) == list(range(n))
+        assert all(b.size <= block for b in blocks)
+
+
+def test_multi_block_sorted_hot_cluster_matches_oracle():
+    """A SORTED guide set with a planted hot cluster (many near-identical
+    guides, the repeat-family shape that OOM'd the un-interleaved scan)
+    must still produce exactly the oracle hit set across multiple guide
+    blocks, with per-guide target-major order."""
+    from flashfry_tpu.standards import Cas9NGGParameterPack as pack
+    genome = random_genome(120000, seed=5)
+    # plant a 60-copy repeat of one 300 bp unit, lightly mutated
+    rng = np.random.default_rng(9)
+    unit = "".join("ACGT"[c] for c in rng.integers(0, 4, size=300))
+    g = list(genome)
+    for _ in range(60):
+        p = int(rng.integers(0, len(genome) - 300))
+        u = list(unit)
+        for _ in range(int(rng.integers(0, 5))):
+            q = int(rng.integers(0, 300))
+            u[q] = "ACGT"[int(rng.integers(0, 4))]
+        g[p:p + 300] = u
+    genome = "".join(g)
+    db = build_db(genome, pack)
+    enc = db.bit_encoding()
+
+    # guides = a SORTED sample of db targets (the clustering worst case):
+    # block size is 128, so >=3 blocks
+    idx = np.sort(np.random.default_rng(3).choice(
+        db.num_targets, size=300, replace=False))
+    guide_longs = db.targets[idx]
+
+    scanner = DeviceScanner(db, use_pallas=False, chunk=1 << 14, cap=8,
+                            trip_cap=64)  # tiny caps: escalation exercised
+    got = {}
+    for t_idx, g_idx, mm in scanner.scan(np.asarray(guide_longs), 4):
+        for t, gg, m in zip(t_idx.tolist(), g_idx.tolist(), mm.tolist()):
+            got.setdefault(gg, []).append((t, m))
+
+    expect_mm = enc.mismatches_cross(
+        np.asarray(guide_longs, dtype=np.uint64), db.targets)
+    for gi in range(guide_longs.shape[0]):
+        t_hits = np.nonzero(expect_mm[gi] <= 4)[0]
+        expect = [(int(t), int(expect_mm[gi, t])) for t in t_hits]
+        assert got.get(gi, []) == expect

@@ -1,15 +1,15 @@
 """Library-design benchmark: BASELINE config #5 — a 100k-guide library
 discovered and scored against a genome-scale database.
 
-Mirrors the reference paper's heaviest sweep point (run_timing_collection.py:
-100,000 guides x maxMismatch=4 vs hg38; the checked-in replicate files stop at
-1000 guides = 65 s, the 100k row exists only in the published paper). The
-whole pipeline runs: guides FASTA -> site discovery -> dense TPU scan ->
-overflow-capped collection -> positionOutput TSV -> score
-(doench2016cfd,hsu2013,jostandsantos,minot,dangerous) -> scored TSV.
+Thin standalone driver over bench.library_row (the official path — the
+driver-run bench.py includes this row by default). Mirrors the reference
+paper's heaviest sweep point (run_timing_collection.py: 100,000 guides x
+maxMismatch=4 vs hg38; the checked-in replicate files stop at 1000 guides =
+65 s, the 100k row exists only in the published paper).
 
 Run: python tools/bench_library.py          (uses the bench.py database cache)
-Env: BENCH_GENOME_MB (default 400), LIB_GUIDES (default 100000).
+Env: BENCH_GENOME_MB (default: the bench cache's scale), LIB_GUIDES
+     (default 100000).
 
 Prints one JSON line with per-phase seconds.
 """
@@ -23,106 +23,35 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-GENOME_MB = int(os.environ.get("BENCH_GENOME_MB", "400"))
-N_GUIDES = int(os.environ.get("LIB_GUIDES", "100000"))
-MAX_MM = 4
-CACHE = "/tmp/flashfry_tpu_bench"
-
-
-def log(*a):
-    print(*a, file=sys.stderr, flush=True)
-
 
 def main():
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import bench
-    from flashfry_tpu.discovery import find_target_sites
-    from flashfry_tpu.engine import ScanStats, discover
-    from flashfry_tpu.targetio import write_output
-    from flashfry_tpu.utils import iterate_fasta
+    from flashfry_tpu.ops.scan import DeviceScanner, default_platform
 
-    t_all = time.time()
-    db = bench.get_database(GENOME_MB)
-    enc = db.bit_encoding()
-
-    # guide library: N distinct sites sampled from the database, written as a
-    # FASTA (the paper samples real genomic guides the same way)
-    rng = np.random.default_rng(7)
-    idx = rng.choice(db.num_targets, size=N_GUIDES, replace=False)
-    seqs, _ = enc.decode_batch(np.asarray(db.targets[idx], dtype=np.uint64))
-    fasta = os.path.join(CACHE, "library_%d.fasta" % N_GUIDES)
-    with open(fasta, "w") as fh:
-        fh.write("".join(">g%d\n%s\n" % (i, s) for i, s in enumerate(seqs)))
+    genome_mb = bench.resolve_genome_mb()
+    db = bench.get_database(genome_mb)
 
     t0 = time.time()
-    gsites = find_target_sites(iterate_fasta(fasta), db.pack,
-                               capture_context=True)
-    t_sites = time.time() - t0
-    log("site discovery: %.2fs (%d candidate sites)" % (t_sites, len(gsites)))
-
-    # device init (first dispatch on axon costs ~160 s) + kernel compile are
-    # one-time per process; warm them outside the timed region the same way
-    # the reference's 65 s excludes nothing but also pays JVM startup once
-    t0 = time.time()
-    import jax
     import jax.numpy as jnp
-    np.asarray(jnp.zeros((8, 128), jnp.int8) + 1)
-    t_init = time.time() - t0
-    log("device init: %.2fs" % t_init)
+    np.asarray(jnp.zeros((), jnp.float32) + 1)
+    platform = default_platform()
+    bench.log("platform %s, init %.1fs" % (platform, time.time() - t0))
+    bench.start_keepalive()
 
-    stats = ScanStats()
     t0 = time.time()
-    guides = discover(db, gsites, max_mismatch=MAX_MM,
-                      maximum_off_targets=2000, backend="auto", stats=stats)
-    t_discover = time.time() - t0
-    n_ots = sum(g.ot_count_total() for g in guides)
-    log("discover (scan+collect): %.2fs (%d guides, %d OT positions, %.3g cmp)"
-        % (t_discover, len(guides), n_ots, stats.dense_comparisons))
+    scanner = DeviceScanner(db)
+    bench.log("scanner init %.1fs" % (time.time() - t0))
+    detail = {}
+    bench.library_row(db, scanner, genome_mb, detail, platform)
 
-    out = os.path.join(CACHE, "library.out")
-    t0 = time.time()
-    write_output(out, guides, enc, db.bit_position(), models=(),
-                 write_ots=True, write_positions=True)
-    t_render = time.time() - t0
-    log("render+write: %.2fs (%.0f MB)" % (t_render, os.path.getsize(out) / 1e6))
-
-    # score phase through the real CLI driver
-    import argparse
-
-    from flashfry_tpu.scoring import run_score_module
-    scored = os.path.join(CACHE, "library.scored")
-    t0 = time.time()
-    run_score_module(argparse.Namespace(
-        input=out, output=scored,
-        database=db_path(), maxMismatch=None,
-        scoringMetrics="doench2016cfd,hsu2013,jostandsantos,minot,dangerous",
-        includeOTs=False, numericOutput=False, inputAnnotationBed=[],
-        transformPositions=[], countOnTargetInScore=False,
-        maxReciprocalMismatch=1, shortestGuideEnergy=-1))
-    t_score = time.time() - t0
-    log("score (parse + 5 metrics + write): %.2fs" % t_score)
-
-    total = time.time() - t_all
+    d = detail["library"]
     print(json.dumps({
-        "metric": "library design: %dk guides discover+score, mm=%d, %dMbp genome"
-                  % (N_GUIDES // 1000, MAX_MM, GENOME_MB),
-        "value": round(t_discover + t_render + t_score, 2),
-        "unit": "seconds (discover+render+score)",
-        "detail": {
-            "guides": len(guides), "ot_positions": n_ots,
-            "site_discovery_s": round(t_sites, 2),
-            "device_init_s": round(t_init, 2),
-            "discover_s": round(t_discover, 2),
-            "render_s": round(t_render, 2),
-            "score_s": round(t_score, 2),
-            "total_incl_db_load_and_device_init_s": round(total, 2),
-            "comparisons": int(stats.dense_comparisons),
-        },
+        "metric": "library design: %dk guides discover+score, mm=4, %dMbp genome"
+                  % (bench.LIB_GUIDES // 1000, genome_mb),
+        "value": d["total_s"],
+        "unit": "seconds (all phases)",
+        "detail": d,
     }))
-
-
-def db_path():
-    return os.path.join(CACHE, "bench_db_%dM.npz" % GENOME_MB)
 
 
 if __name__ == "__main__":
