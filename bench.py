@@ -625,6 +625,8 @@ def main():
     # asserts hit-count equality with the resident DeviceScanner
     if RUN_SHARDED and platform == "tpu":
         del scanner  # free the 12 GB resident planes before resharding
+        import gc
+        gc.collect()
         from jax.sharding import Mesh
         from flashfry_tpu.parallel.mesh import ShardedScanner
         t0 = time.time()

@@ -154,12 +154,16 @@ class ShardedScanner:
 
     def _put_codes(self):
         """Build + upload the sharded code planes: upload the packed 2-bit
-        words (8 B/target, sharded over "db") and expand to plane-major
-        codes on the devices with a shard_map — the sharded analog of
-        ops.scan.device_plane_codes (4x less host->device traffic and no
-        host-side 32-byte plane build; the expansion is pure elementwise
-        shifts, so no collectives). Multi-host subclasses override to build
-        only the local slabs."""
+        words (8 B/target, sharded over "db") SLAB BY SLAB and expand to
+        plane-major codes on the devices with a shard_map — the sharded
+        analog of ops.scan.device_plane_codes (4x less host->device traffic
+        and no host-side 32-byte plane build; the expansion is pure
+        elementwise shifts, so no collectives). Slabbing is mandatory, not
+        an optimization: a whole-shard expand materializes (L, shard_n)
+        int32 row temps before the int8 cast — 34 GB at hg38 scale, OOM —
+        while per-slab temps stay under 1 GB and the donated buffer updates
+        in place. Multi-host subclasses override to build only the local
+        slabs."""
         import jax
         import jax.numpy as jnp
         from jax import shard_map
@@ -167,35 +171,55 @@ class ShardedScanner:
         from ..ops.scan import CODE_ROWS, PAD_CODE, split_words
 
         n = self.db.num_targets
-        lo, hi = split_words(self.db.targets)
-        lo = np.pad(lo, (0, self.n_pad - n))
-        hi = np.pad(hi, (0, self.n_pad - n))
-        words = np.stack([lo, hi])                           # (2, n_pad) i32
-        words_d = jax.device_put(words,
-                                 NamedSharding(self.mesh, P(None, "db")))
         L = self.L
         shard_n = self.shard_n
+        slab = min(self.chunk, shard_n)
+        assert shard_n % slab == 0, (shard_n, slab)
+        D = self.D
+        mesh = self.mesh
+        sharding = NamedSharding(mesh, P(None, "db"))
 
-        def expand(words_local, shard_idx):
-            w_lo, w_hi = words_local[0], words_local[1]
+        buf = jax.jit(
+            lambda: jnp.full((CODE_ROWS, self.n_pad), PAD_CODE, jnp.int8),
+            out_shardings=sharding)()
+
+        def fill(buf_local, words_local, shard_idx, start, n_valid_global):
+            w_lo, w_hi = words_local[0], words_local[1]       # (slab,)
             rows = []
             for i in range(L):
                 s = 2 * (L - 1 - i)  # bases never straddle the 32-bit split
                 w = w_lo if s < 32 else w_hi
-                rows.append(jax.lax.shift_right_logical(w, s % 32) & 3)
-            codes = jnp.stack(rows).astype(jnp.int8)         # (L, shard_n)
+                rows.append((jax.lax.shift_right_logical(w, s % 32) & 3)
+                            .astype(jnp.int8))
+            codes = jnp.stack(rows)                           # (L, slab) i8
             codes = jnp.pad(codes, ((0, CODE_ROWS - L), (0, 0)))
-            base = shard_idx[0].astype(jnp.int32) * shard_n
-            valid = base + jnp.arange(shard_n, dtype=jnp.int32) < n
-            return jnp.where(valid[None, :], codes, jnp.int8(PAD_CODE))
+            base = shard_idx[0].astype(jnp.int32) * shard_n + start
+            valid = base + jnp.arange(slab, dtype=jnp.int32) < n_valid_global
+            codes = jnp.where(valid[None, :], codes, jnp.int8(PAD_CODE))
+            return jax.lax.dynamic_update_slice(buf_local, codes, (0, start))
 
-        shard_ids = jax.device_put(
-            np.arange(self.D, dtype=np.int32),
-            NamedSharding(self.mesh, P("db")))
-        step = shard_map(expand, mesh=self.mesh,
-                         in_specs=(P(None, "db"), P("db")),
+        step = shard_map(fill, mesh=mesh,
+                         in_specs=(P(None, "db"), P(None, "db"), P("db"),
+                                   None, None),
                          out_specs=P(None, "db"), check_vma=False)
-        return jax.jit(step)(words_d, shard_ids)
+        jitted = jax.jit(step, donate_argnums=(0,))
+        shard_ids = jax.device_put(np.arange(D, dtype=np.int32),
+                                   NamedSharding(mesh, P("db")))
+
+        targets = self.db.targets
+        for i in range(shard_n // slab):
+            host_w = np.zeros((2, D * slab), dtype=np.int32)
+            for s in range(D):
+                g_lo = s * shard_n + i * slab
+                g_hi = min(max(g_lo, n), g_lo + slab)
+                if g_hi > g_lo:
+                    lo_h, hi_h = split_words(targets[g_lo:g_hi])
+                    host_w[0, s * slab:s * slab + (g_hi - g_lo)] = lo_h
+                    host_w[1, s * slab:s * slab + (g_hi - g_lo)] = hi_h
+            words_d = jax.device_put(host_w, sharding)
+            buf = jitted(buf, words_d, shard_ids, jnp.int32(i * slab),
+                         jnp.int32(n))
+        return buf
 
     def _make_global(self, arr: np.ndarray, spec):
         """Host array -> global device array with the given PartitionSpec."""
