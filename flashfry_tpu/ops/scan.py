@@ -434,7 +434,17 @@ class DeviceScanner:
     genomes beyond hg38, or a shared chip), the scanner streams the database
     through HBM in fixed-size target slabs instead of holding it resident:
     ascending slabs x guide blocks, so per-guide hits still arrive in global
-    target order and all slabs share one compiled executable."""
+    target order and all slabs share one compiled executable.
+
+    COST CONTRACT of the streaming mode: every scan() call re-uploads the
+    whole database (the slabs cannot persist — they cycle through the same
+    HBM), so an N-scan workload pays N uploads over the host link. For a
+    max_mismatch SWEEP specifically, do NOT call scan() per mm value: one
+    scan at the LARGEST mm yields every lower-mm hit with its exact
+    mismatch count in the mm column — filter host-side (an mm<=k hit set is
+    a superset-filter of the mm<=k-1 set, reference
+    traversal/LinearTraversal.scala:82-97 prunes the same way). Resident
+    mode has no such concern: repeat scans reuse the uploaded planes."""
 
     def __init__(self, db: Database, use_pallas: Optional[bool] = None,
                  chunk: Optional[int] = None, cap: int = DEFAULT_CAP,
