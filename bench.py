@@ -353,6 +353,8 @@ def library_row(db, scanner, genome_mb, detail, platform):
     guides = discover(db, gsites, max_mismatch=4, maximum_off_targets=2000,
                       backend="auto", stats=stats, scanner=scanner)
     d["scan_collect_s"] = round(time.time() - t0, 2)
+    d["collect_host_seconds"] = round(stats.collect_seconds, 2)
+    d["pruned_counter_seconds"] = round(stats.counter_seconds, 2)
     n_ots = sum(g.ot_count_total() for g in guides)
     n_over = sum(1 for g in guides if g.full)
     d["ot_positions"] = n_ots

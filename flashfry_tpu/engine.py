@@ -40,12 +40,17 @@ from .utils import gc_content
 @dataclass
 class ScanStats:
     """Counters mirroring the reference's Traverser counters
-    (reference/traverser/Traverser.scala:66-74)."""
+    (reference/traverser/Traverser.scala:66-74), plus phase timings for the
+    discover epilogue (scan_seconds covers the whole scan+collect+counter
+    span; collect/counter break out the host aggregation and the
+    pruned-comparisons bookkeeping so a slow run is attributable)."""
     all_targets: int = 0
     all_targets_and_positions: int = 0  # targets weighted by genomic positions
     all_comparisons: int = 0          # FlashFry-equivalent comparisons (after pruning)
     dense_comparisons: int = 0        # raw guide x target comparisons performed
     scan_seconds: float = 0.0
+    collect_seconds: float = 0.0      # _collect_hits (cap rule + CSR assembly)
+    counter_seconds: float = 0.0      # pruned_comparisons_device bookkeeping
 
 
 def bin_guide_mask(db: Database, guide_longs: np.ndarray, max_mismatch: int) -> np.ndarray:
@@ -197,7 +202,7 @@ def _scan_numpy(db: Database, guide_longs: np.ndarray, max_mismatch: int,
 
 
 def _collect_hits(db: Database, guides: List[GuideWithOffTargets],
-                  hit_iter) -> None:
+                  hit_iter, stats: Optional[ScanStats] = None) -> None:
     """Apply hits to guides with the reference's overflow-cap rule: accept a
     hit iff current_total < cap before adding (ResultsAggregator.updateOT ->
     CRISPRSiteOT.addOT, crispr/CRISPRSiteOT.scala:41-46).
@@ -215,6 +220,7 @@ def _collect_hits(db: Database, guides: List[GuideWithOffTargets],
         g_chunks.append(np.asarray(g_idx, dtype=np.int64))
     if not t_chunks:
         return
+    t0 = time.time()  # post-scan host aggregation (the scan wait is above)
     t = np.concatenate(t_chunks)
     g = np.concatenate(g_chunks)
     order = np.argsort(g, kind="stable")
@@ -274,6 +280,8 @@ def _collect_hits(db: Database, guides: List[GuideWithOffTargets],
         offs = out_off[s:e + 1] - out_off[s]
         guides[gi].set_ots_arrays(targets[t_acc[s:e]],
                                   coords[out_off[s]:out_off[e]], offs)
+    if stats is not None:
+        stats.collect_seconds += time.time() - t0
 
 
 def discover(db: Database, guide_sites: DiscoveredSites,
@@ -352,16 +360,18 @@ def discover(db: Database, guide_sites: DiscoveredSites,
     else:
         from .ops.scan import scan_database_jax
         hit_iter = scan_database_jax(db, guide_longs, max_mismatch, stats, bmask)
-    _collect_hits(db, guides, hit_iter)
+    _collect_hits(db, guides, hit_iter, stats)
     if not use_numpy:
         # Device scanners are dense (pruning is lossless, so the hit set is
         # identical) and track only dense_comparisons; the logged
         # all_comparisons must carry the reference's post-pruning semantics
         # (Traverser.scala:66-74, OffTargetDiscovery.scala:137). With
         # --forceLinear the numpy path skips the bin mask; mirror that.
+        t_cnt = time.time()
         stats.all_comparisons = (
             stats.dense_comparisons if force_linear
             else pruned_comparisons_device(db, guide_longs, max_mismatch))
+        stats.counter_seconds = time.time() - t_cnt
     stats.scan_seconds = time.time() - t0
     return guides
 

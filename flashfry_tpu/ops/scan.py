@@ -167,6 +167,13 @@ def _packed_nonzero(mask, size: int):
          a short lane-axis cumsum.
 
     All passes touch O(n) bytes once plus O(size*T) for the ranking.
+    NEGATIVE RESULT (measured v5e, round 4): switching to the flat
+    formulation when size*T exceeds one mask pass looks right on paper but
+    is 2.3x SLOWER at mm=5 (2.4 s -> 5.6 s/scan) — jnp.searchsorted's
+    binary search issues 23 rounds of random gathers per query, and its
+    cost explodes with the query count (size); the tile-ranking gather is
+    sequential-ish and stays cheaper even at col_cap=65536. Keep the tile
+    path for every regular shape.
     Returns (idx int32[size] — entries beyond the true count clamp to n-1,
     count int32). Indices ascend; ties with the flat formulation are exact
     (tests/test_scan_jax.py::test_packed_nonzero_*)."""
@@ -336,7 +343,9 @@ def parse_trip_buffer(buf: np.ndarray):
 DEFAULT_CHUNK = 1 << 23
 DEFAULT_CAP = 1 << 12   # max stage-1 hit targets per chunk
 TRIPLET_CAP = 1 << 17   # max (guide, target) hit pairs per fused block scan
-MAX_RETRIES = 3         # cap-doubling retries before the exact host fallback
+MAX_RETRIES = 6         # cap-escalation retries before the exact host
+                        # fallback (col steps x2, so a 4096->65536 climb
+                        # takes 4; each retry re-dispatches one guide block)
 COL_CAP_MAX = 1 << 16   # ceiling: stage-2 (col_cap, G) f32 = 256 MB at G=1024
 TRIP_CAP_MAX = 1 << 25  # ceiling: 268 MB triplet buffer per in-flight block
 
@@ -647,7 +656,11 @@ class DeviceScanner:
             import logging
             if overflow & 1:
                 if caps[0] < COL_CAP_MAX:
-                    caps[0] = min(caps[0] * 4, COL_CAP_MAX)
+                    # x2 steps: stage-2 cost is ~linear in col_cap (measured
+                    # v5e, 1000g/mm=4 hg38: col 8192 scans in 0.57 s vs
+                    # 0.76 s at 16384, 2.2 s at 65536), so a finer fit
+                    # repays the one extra retry on the first scan
+                    caps[0] = min(caps[0] * 2, COL_CAP_MAX)
                 elif self.chunk > self._min_chunk:
                     self.chunk = max(self.chunk // 4, self._min_chunk)
                     logging.getLogger(__name__).info(

@@ -427,10 +427,11 @@ class ShardedScanner:
                         if count:
                             yield (t_idx + base_t, g_idx + q * g_local, mm)
                 return
-            # sticky + selective escalation, HBM-bounded (see DeviceScanner)
+            # sticky + selective escalation, HBM-bounded (see DeviceScanner:
+            # col x2 for a finer stage-2 fit, trip x4)
             from ..ops.scan import COL_CAP_MAX, TRIP_CAP_MAX
             if col_of:
-                self.cap = min(self.cap * 4, COL_CAP_MAX)
+                self.cap = min(self.cap * 2, COL_CAP_MAX)
             if trip_of:
                 self.trip_cap = min(self.trip_cap * 4, TRIP_CAP_MAX)
             if _attempt == MAX_RETRIES:
