@@ -106,3 +106,49 @@ def test_empty_batch():
     cfd = Doench2016CFDScore()
     s, d = b._column("cfd", cfd_tables=(cfd._mm_table, cfd._pam_table))
     assert s.size == 0 and d.size == 0
+
+
+@pytest.mark.parametrize("be", ["native", "device"])
+def test_jost_19mer_backend_parity(be):
+    """The 19-mer cas9 packs (L=22, Jost positions keyed from plo=0) must
+    be bit-identical across backends too (JostAndSantosCRISPRi.scala:92-127
+    handles both lengths)."""
+    from flashfry_tpu.standards import Cas9NGG19ParameterPack as P19
+    rng = np.random.default_rng(4)
+    enc = BitEncoding(P19)
+    L = P19.total_scan_length
+    n, g = 5000, 16
+
+    def rand_longs(k):
+        seqs = ["".join("ACGT"[c] for c in rng.integers(0, 4, size=L))
+                for _ in range(k)]
+        return enc.encode_batch(seqs)
+
+    glongs = rand_longs(g)
+    flat = rand_longs(n)
+    gi = rng.integers(0, g, size=n).astype(np.int64)
+    half = n // 2
+    base = glongs[gi[:half]] & np.uint64(0xFFFFFFFFFFFF)
+    for i in range(half):
+        s = int(base[i])
+        for _ in range(int(rng.integers(0, 5))):
+            p = int(rng.integers(0, L))
+            s ^= int(rng.integers(1, 4)) << (2 * (L - 1 - p))
+        flat[i] = np.uint64(s)
+    flat |= np.uint64(1) << np.uint64(48)
+    act = np.asarray(sorted(P19.comparison_mask_positions()), np.int32)
+    assert act.shape[0] == 19 and (act == np.arange(19)).all()
+
+    jost = JostAndSantosCRISPRi()
+    jost._pack = P19
+    plo = jost._lo()
+    assert plo == 0
+
+    cols = {}
+    for b in ("numpy", be):
+        bt = OTScoreBatch(flat, gi, glongs, L, act)
+        bt._backend = b
+        cols[b] = bt._column("jost", jost_tables=(jost._table, plo))
+    assert (cols[be][0].view(np.int64)
+            == cols["numpy"][0].view(np.int64)).all()
+    assert (cols[be][1] == cols["numpy"][1]).all()
