@@ -84,6 +84,8 @@ def _build_lib() -> Optional[ctypes.CDLL]:
                                  i32p, i32,
                                  f64p, f64p, f64p, f64p, i32, f64p, i32,
                                  f64p, f64p, f64p, u8p]
+    lib.ff_mismatches.restype = i64
+    lib.ff_mismatches.argtypes = [u64p, u64p, i64p, i64, ctypes.c_uint64, u8p]
     return lib
 
 
@@ -393,6 +395,31 @@ def score_ots(flat: np.ndarray, gi: np.ndarray, glongs: np.ndarray, L: int,
         cfd_mm, cfd_pam, hsu_om, hsu_pam, hsu_gs, jost_t, jost_lo,
         cfd_o, hsu_o, jost_o, _ptr(out["differs"], ctypes.c_uint8))
     del keep
+    return out
+
+
+def mismatch_counts(a: np.ndarray, b: np.ndarray, gi=None,
+                    mask: int = 0xFFFFFFFFFFFFFFFF):
+    """Masked popcount mismatch counts (ff_mismatches): out[i] =
+    popcount-pairs((a[i] ^ b[gi[i] if gi else i]) & mask). Returns uint8[n]
+    or None when the native library is unavailable."""
+    lib = get_native()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(a, dtype=np.uint64)
+    b = np.ascontiguousarray(b, dtype=np.uint64)
+    n = int(a.shape[0])
+    out = np.empty(n, dtype=np.uint8)
+    if gi is None:
+        assert b.shape[0] == n
+        gi_p = ctypes.cast(None, ctypes.POINTER(ctypes.c_int64))
+    else:
+        gi = np.ascontiguousarray(gi, dtype=np.int64)
+        assert gi.shape[0] == n
+        gi_p = _ptr(gi, ctypes.c_int64)
+    lib.ff_mismatches(_ptr(a, ctypes.c_uint64), _ptr(b, ctypes.c_uint64),
+                      gi_p, n, ctypes.c_uint64(mask),
+                      _ptr(out, ctypes.c_uint8))
     return out
 
 

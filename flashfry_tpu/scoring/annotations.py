@@ -69,14 +69,11 @@ class DangerousSequences(SingleGuideScoreModel):
     def score_guides(self, guides, bit_enc, pos_enc, pack) -> None:
         """Batched: one flat mismatch pass for the IN_GENOME counts; GC and
         PolyT stay per-guide string checks (cheap)."""
-        from .base import flatten_guide_ots
+        from .base import flatten_guide_ots_cached
         if not len(guides):
             return
-        flat, offsets = flatten_guide_ots(guides)
-        glongs = np.fromiter((g.long_encoding for g in guides),
-                             np.uint64, len(guides))
-        gi = np.repeat(np.arange(len(guides)), np.diff(offsets))
-        mm = self._enc.mismatches(flat, glongs[gi])
+        flat, offsets, glongs, gi = flatten_guide_ots_cached(guides)
+        mm = self._enc.mismatches_indexed(flat, glongs, gi)
         exact = (flat >> np.uint64(48)).astype(np.int64) * (mm == 0)
         in_genome = np.bincount(gi, weights=exact.astype(np.float64),
                                 minlength=len(guides)).astype(np.int64).tolist()
@@ -148,15 +145,12 @@ class ClosestHit(SingleGuideScoreModel):
     def score_guides(self, guides, bit_enc, pos_enc, pack) -> None:
         """Batched: one flat mismatch pass + a (G x 5) histogram bincount;
         the closest-positive-distance fold runs over small list slices."""
-        from .base import flatten_guide_ots
+        from .base import flatten_guide_ots_cached
         if not len(guides):
             return
         K = self.MAX_MM_STORED
-        flat, offsets = flatten_guide_ots(guides)
-        glongs = np.fromiter((g.long_encoding for g in guides),
-                             np.uint64, len(guides))
-        gi = np.repeat(np.arange(len(guides)), np.diff(offsets))
-        mm = self._enc.mismatches(flat, glongs[gi])
+        flat, offsets, glongs, gi = flatten_guide_ots_cached(guides)
+        mm = self._enc.mismatches_indexed(flat, glongs, gi)
         occ = (flat >> np.uint64(48)).astype(np.int64)
         in_range = mm <= K
         hists = np.bincount(
@@ -165,21 +159,31 @@ class ClosestHit(SingleGuideScoreModel):
             minlength=len(guides) * (K + 1)).astype(np.int64)
         hists = hists.reshape(len(guides), K + 1).tolist()
 
-        mmlist = mm.tolist()
-        occlist = occ.tolist()
-        offs = offsets.tolist()
+        # closest positive distance per guide, fully vectorized (the old
+        # per-guide Python fold cost ~6 s at 100k guides x 18.7M OTs):
+        # segment-min via minimum.reduceat over the guide-grouped flat
+        # order, then one bincount for the occurrence sum at that distance
+        n_g = len(guides)
+        NOPOS = 255
+        # sentinel append keeps every offsets value a valid reduceat index
+        # (offsets[i] == n for trailing empty segments) without perturbing
+        # any non-empty segment's range; the sentinel can never lower a min
+        mmp = np.append(np.where(mm > 0, mm.astype(np.int64), NOPOS), NOPOS)
+        closest = np.minimum.reduceat(mmp, offsets[:-1])
+        closest[offsets[:-1] == offsets[1:]] = NOPOS  # empty segments
+        at_closest = mm == closest[gi]
+        counts = np.bincount(gi[at_closest], weights=occ[at_closest].astype(np.float64),
+                             minlength=n_g).astype(np.int64)
+
+        closest_l = closest.tolist()
+        counts_l = counts.tolist()
         cols = self.header_columns()
         for i, g in enumerate(guides):
-            s, e = offs[i], offs[i + 1]
             hist = ",".join(str(c) for c in hists[i])
-            seg = mmlist[s:e]
-            pos = [m for m in seg if m > 0]
-            if not pos:
+            if closest_l[i] == NOPOS:
                 vals = ["UNK", "0", hist]
             else:
-                closest = min(pos)
-                count = sum(o for m, o in zip(seg, occlist[s:e]) if m == closest)
-                vals = [str(closest), str(count), hist]
+                vals = [str(closest_l[i]), str(counts_l[i]), hist]
             for col, v in zip(cols, vals):
                 g.named_annotations[col] = [v]
 

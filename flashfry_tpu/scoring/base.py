@@ -38,6 +38,34 @@ def flatten_guide_ots(guides: Sequence[GuideWithOffTargets]
     return np.concatenate(arrs).astype(np.uint64, copy=False), offsets
 
 
+_flat_memo = None
+
+
+def flatten_guide_ots_cached(guides: Sequence[GuideWithOffTargets]):
+    """(flat, offsets, glongs, gi) for a guide list, memoized across the
+    scoring models of one run.
+
+    Every model's batched pass needs the same concatenation of all guides'
+    OT arrays plus the per-OT guide index; at 100k guides x 18M OTs each
+    build costs ~2.5 s of fresh-page allocations, and a five-metric score
+    run repeats it five times. The memo keys on the guide OBJECT identities
+    (first/last) plus the count — the score driver passes the same list to
+    every model and nothing mutates OT arrays between models (per-OT score
+    columns attach to a separate store). Callers that mutate OT sets
+    between calls must not use the cached variant."""
+    global _flat_memo
+    key = (len(guides), id(guides[0]) if guides else 0,
+           id(guides[-1]) if guides else 0)
+    if _flat_memo is not None and _flat_memo[0] == key:
+        return _flat_memo[1]
+    flat, offsets = flatten_guide_ots(guides)
+    glongs = np.fromiter((g.long_encoding for g in guides),
+                         np.uint64, len(guides))
+    gi = np.repeat(np.arange(len(guides)), np.diff(offsets))
+    _flat_memo = (key, (flat, offsets, glongs, gi))
+    return _flat_memo[1]
+
+
 def fold_sum(values) -> float:
     """Naive left-fold float sum — Scala List.sum semantics.
 

@@ -123,10 +123,8 @@ class Doench2016CFDScore(SingleGuideScoreModel):
                     g.named_annotations[col] = [MISSING_ANNOTATION]
         if not scorable:
             return
-        flat, offsets = flatten_guide_ots(scorable)
-        glongs = np.fromiter((g.long_encoding for g in scorable),
-                             np.uint64, len(scorable))
-        gi = np.repeat(np.arange(len(scorable)), np.diff(offsets))
+        from .base import flatten_guide_ots_cached
+        flat, offsets, glongs, gi = flatten_guide_ots_cached(scorable)
 
         batch = get_batch(flat, gi, glongs, 23,
                           np.asarray(sorted(pack.comparison_mask_positions()),
@@ -265,10 +263,8 @@ class CrisprMitEduOffTarget(SingleGuideScoreModel):
                     g.named_annotations[col] = [MISSING_ANNOTATION]
         if not scorable:
             return
-        flat, offsets = flatten_guide_ots(scorable)
-        glongs = np.fromiter((g.long_encoding for g in scorable),
-                             np.uint64, len(scorable))
-        gi = np.repeat(np.arange(len(scorable)), np.diff(offsets))
+        from .base import flatten_guide_ots_cached
+        flat, offsets, glongs, gi = flatten_guide_ots_cached(scorable)
 
         from .otbatch import get_batch
         batch = get_batch(flat, gi, glongs, 23,
@@ -410,10 +406,8 @@ class JostAndSantosCRISPRi(SingleGuideScoreModel):
             return
         L = self._pack.total_scan_length
         plo = self._lo()
-        flat, offsets = flatten_guide_ots(scorable)
-        glongs = np.fromiter((g.long_encoding for g in scorable),
-                             np.uint64, len(scorable))
-        gi = np.repeat(np.arange(len(scorable)), np.diff(offsets))
+        from .base import flatten_guide_ots_cached
+        flat, offsets, glongs, gi = flatten_guide_ots_cached(scorable)
 
         from .otbatch import get_batch
         batch = get_batch(flat, gi, glongs, L,

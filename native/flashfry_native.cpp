@@ -490,6 +490,28 @@ void ff_segment_fold_f64(const double* vals, const double* weights,
     }
 }
 
+// Elementwise masked mismatch counts over packed 2-bit encodings
+// (BitEncoding.scala:127-132: XOR, mask, fold bit pairs, popcount).
+//
+// The numpy SWAR chain allocates ~9 fresh full-size temporaries per call;
+// on hosts with slow first-touch page faults that dominates (measured:
+// 13 s for 18M pairs vs <0.2 s here). b is indexed by gi when given
+// (out[i] = mm(a[i], b[gi[i]])) so the caller skips materializing the
+// gather too; gi == null means elementwise b[i].
+int64_t ff_mismatches(const uint64_t* a, const uint64_t* b,
+                      const int64_t* gi, int64_t n, uint64_t mask,
+                      uint8_t* out) {
+    #ifdef _OPENMP
+    #pragma omp parallel for schedule(static) if (n > 1 << 16)
+    #endif
+    for (int64_t i = 0; i < n; ++i) {
+        uint64_t x = (a[i] ^ (gi ? b[gi[i]] : b[i])) & mask;
+        x = (x | (x >> 1)) & 0x5555555555555555ULL;
+        out[i] = (uint8_t)__builtin_popcountll(x);
+    }
+    return 0;
+}
+
 // Batched per-off-target activity scores: Doench 2016 CFD, Hsu 2013 and
 // Jost&Santos, fused into one pass over the flat OT array.
 //
