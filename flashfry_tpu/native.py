@@ -70,7 +70,7 @@ def _build_lib() -> Optional[ctypes.CDLL]:
         c_char_p, i64, i64p]
     lib.ff_parse_ot_tokens.restype = i64
     lib.ff_parse_ot_tokens.argtypes = [
-        c_char_p, i64p, i64, i64p, i64, i32, c_char_p, i64p, i64,
+        c_char_p, i64p, i64p, i64, i64p, i64, i32, c_char_p, i64p, i64,
         u64p, u8p, i64, u64p, i64p, i64, i64p,
         i64p, i64p, i64p, i64, i64p]
     f64p = ctypes.POINTER(ctypes.c_double)
@@ -257,16 +257,20 @@ def render_ot_tokens(ot_longs: np.ndarray, hit_start: np.ndarray,
     return None
 
 
-def parse_ot_tokens(buf: bytes, col_offsets: np.ndarray, caps: np.ndarray,
+def parse_ot_tokens(buf: bytes, col_beg: np.ndarray, col_end: np.ndarray,
+                    caps: np.ndarray,
                     max_mm: int, L: int, contig_names: Sequence[str]):
-    """Native OT-token parsing. Returns (longs, valid, coords, coord_offsets,
+    """Native OT-token parsing. Guide g's token column is
+    buf[col_beg[g]:col_end[g]] — ranges may point straight into the raw
+    file bytes (zero-copy). Returns (longs, valid, coords, coord_offsets,
     hit_start, score_ranges[(hit, beg, end)]) or None (caller falls back to
     the host parser)."""
     lib = get_native()
     if lib is None:
         return None
-    n_guides = int(col_offsets.shape[0]) - 1
-    col_offsets = np.ascontiguousarray(col_offsets, dtype=np.int64)
+    n_guides = int(col_beg.shape[0])
+    col_beg = np.ascontiguousarray(col_beg, dtype=np.int64)
+    col_end = np.ascontiguousarray(col_end, dtype=np.int64)
     caps = np.ascontiguousarray(caps, dtype=np.int64)
     cbuf, coffs = _contig_table(contig_names)
     n_hit_cap = buf.count(b",") + n_guides + 1
@@ -283,7 +287,8 @@ def parse_ot_tokens(buf: bytes, col_offsets: np.ndarray, caps: np.ndarray,
         s_beg = np.empty(n_score_cap, dtype=np.int64)
         s_end = np.empty(n_score_cap, dtype=np.int64)
         got = lib.ff_parse_ot_tokens(
-            buf, _ptr(col_offsets, ctypes.c_int64), n_guides,
+            buf, _ptr(col_beg, ctypes.c_int64), _ptr(col_end, ctypes.c_int64),
+            n_guides,
             _ptr(caps, ctypes.c_int64), max_mm, L,
             cbuf, _ptr(coffs, ctypes.c_int64), len(contig_names),
             _ptr(longs, ctypes.c_uint64), _ptr(valid, ctypes.c_uint8), n_hit_cap,

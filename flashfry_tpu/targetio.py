@@ -487,12 +487,13 @@ class ParsedInput:
 def parse_input(path: str, bit_encoding: BitEncoding, pos_enc: BitPosition,
                 maximum_mismatches: int,
                 filter_out_overflowed: bool = False) -> ParsedInput:
+    from . import native
     from .utils import open_maybe_gzip
-    with open_maybe_gzip(path) as fh:
-        lines = fh.read().split("\n")
-    if lines and lines[-1] == "":
-        lines.pop()
-    header = lines[0].split(SEP)
+    with open_maybe_gzip(path, "rb") as fh:
+        buf = fh.read()
+    hdr_end = buf.find(b"\n")
+    assert hdr_end > 0, "Header line not long enough for file: " + path
+    header = buf[:hdr_end].decode("ascii").split(SEP)
     assert len(header) > len(DEFAULT_COLUMNS) + len(FINAL_COLUMNS) - 1, \
         "Header line not long enough for file: " + path
     assert header[:len(DEFAULT_COLUMNS)] == DEFAULT_COLUMNS, \
@@ -504,11 +505,140 @@ def parse_input(path: str, bit_encoding: BitEncoding, pos_enc: BitPosition,
     annotations = remaining[:-2] if with_ots else remaining[:-1]
     token_length = len(header)
 
-    guides = _parse_guides(lines[1:], annotations, bit_encoding, pos_enc,
-                           with_ots, token_length, maximum_mismatches)
+    guides = None
+    if native.get_native() is not None:
+        guides = _parse_guides_bytes(buf, hdr_end + 1, annotations,
+                                     bit_encoding, pos_enc, with_ots,
+                                     token_length, maximum_mismatches)
+    if guides is None:
+        lines = buf.decode("utf-8").split("\n")
+        if lines and lines[-1] == "":
+            lines.pop()
+        guides = _parse_guides(lines[1:], annotations, bit_encoding, pos_enc,
+                               with_ots, token_length, maximum_mismatches)
     if filter_out_overflowed:
         guides = [g for g in guides if not g.inherited_overflow and not g.full]
     return ParsedInput(guides, annotations, with_ots)
+
+
+def _parse_guides_bytes(buf: bytes, body_start: int, annotations: List[str],
+                        bit_encoding: BitEncoding, pos_enc: BitPosition,
+                        with_ots: bool, token_length: int,
+                        maximum_mismatches: int
+                        ) -> Optional[List[GuideWithOffTargets]]:
+    """Zero-copy parse of the raw file bytes.
+
+    Line and tab boundaries come from two vectorized scans, the small guide
+    fields decode from tiny slices, and the OT token columns (the bulk of
+    the file — ~850 MB at 100k-guide library scale) are handed to the
+    native tokenizer as (beg, end) RANGES into the original buffer. The
+    string path copies every OT column three times (per-line split, column
+    join, ascii encode) before the tokenizer sees a byte — fresh pages
+    fault at 20-60 MB/s here, so those copies were most of the parse phase.
+    Returns None on any structural surprise (wrong per-line column count,
+    native parse error); the caller falls back to the string parser."""
+    from . import native
+    arr = np.frombuffer(buf, np.uint8)
+    nl = np.nonzero(arr == 10)[0]
+    nl = nl[nl >= body_start]
+    starts = np.concatenate([[body_start], nl[:-1] + 1]) if nl.size else \
+        np.asarray([body_start], dtype=np.int64)
+    ends = nl if nl.size else np.asarray([len(buf)], dtype=np.int64)
+    if nl.size and int(nl[-1]) != len(buf) - 1:
+        # no trailing newline: one more line after the last newline
+        starts = np.append(starts, nl[-1] + 1)
+        ends = np.append(ends, len(buf))
+    keep = starts < ends  # drop empty lines (trailing newline)
+    starts, ends = starts[keep], ends[keep]
+    n = starts.shape[0]
+    if n == 0:
+        return []
+
+    tabs = np.nonzero(arr == 9)[0]
+    lo = np.searchsorted(tabs, starts)
+    hi = np.searchsorted(tabs, ends)
+    if not np.array_equal(hi - lo, np.full(n, token_length - 1)):
+        return None  # malformed rows: use the tolerant string parser
+    # per-line tab positions: TB[i, k] = k-th tab of line i
+    TB = tabs[lo[:, None] + np.arange(token_length - 1)[None, :]]
+
+    def field(i: int, k: int) -> bytes:
+        b = starts_l[i] if k == 0 else TB_l[i][k - 1] + 1
+        e = ends_l[i] if k == token_length - 1 else TB_l[i][k]
+        return buf[b:e]
+
+    starts_l, ends_l, TB_l = starts.tolist(), ends.tolist(), TB.tolist()
+    targets = [field(i, 3).decode("ascii") for i in range(n)]
+    try:
+        longs = bit_encoding.encode_batch(targets)
+    except ValueError:
+        longs = np.array([bit_encoding.encode(t) for t in targets],
+                         dtype=np.uint64)
+
+    n_ann = len(annotations)
+    count_col = (SET_COLUMN_COUNT - 1) + n_ann
+    guides: List[GuideWithOffTargets] = []
+    caps = np.empty(n, dtype=np.int64)
+    for i in range(n):
+        context = field(i, 4)
+        is_overflowed = field(i, 5) != TARGET_OK.encode("ascii")
+        # overflowCount reconstruction (TabDelimitedHandler.scala:242-247)
+        caps[i] = int(field(i, count_col)) + (0 if is_overflowed else 1)
+        g = GuideWithOffTargets(
+            contig=field(i, 0).decode("ascii"), start=int(field(i, 1)),
+            bases=targets[i],
+            forward_strand=field(i, 6) == FORWARD.encode("ascii"),
+            sequence_context=(None if context == b"NONE"
+                              else context.decode("ascii")),
+            long_encoding=int(longs[i]), overflow_cap=int(caps[i]),
+            inherited_overflow=is_overflowed)
+        for k, a in enumerate(annotations):
+            g.named_annotations[a] = [field(i, 7 + k).decode("ascii")]
+        guides.append(g)
+
+    if not with_ots:
+        return guides
+
+    col_beg = TB[:, token_length - 2] + 1
+    parsed = native.parse_ot_tokens(buf, col_beg, ends, caps,
+                                    maximum_mismatches,
+                                    bit_encoding.pack.total_scan_length,
+                                    _contig_name_list(pos_enc))
+    if parsed is None:
+        return None
+    _install_parsed_ots(guides, parsed, buf)
+    return guides
+
+
+def _install_parsed_ots(guides, parsed, buf) -> None:
+    """Attach the native tokenizer's columnar outputs to the guides
+    (shared by the bytes and string parse paths)."""
+    ot_longs, valid, coords, coord_offsets, hit_start, score_ranges = parsed
+    for i, g in enumerate(guides):
+        s, e = int(hit_start[i]), int(hit_start[i + 1])
+        if s == e:
+            continue
+        offs = coord_offsets[s:e + 1] - coord_offsets[s]
+        g.set_ots_arrays(ot_longs[s:e],
+                         coords[coord_offsets[s]:coord_offsets[e]],
+                         offs, valid[s:e])
+    if score_ranges:
+        per_guide: Dict[int, List[Tuple[int, Dict[str, str]]]] = {}
+        for hit, beg, end in score_ranges:
+            gi = int(np.searchsorted(hit_start, hit, side="right")) - 1
+            d = dict(pair.split(SCORES_PAIRING)
+                     for pair in buf[beg:end].decode("ascii")
+                     .split(SCORES_SEPARATOR))
+            per_guide.setdefault(gi, []).append((hit - int(hit_start[gi]), d))
+        for gi, pairs in per_guide.items():
+            g = guides[gi]
+            cols_d: Dict[str, List[Optional[str]]] = {}
+            for local, d in pairs:
+                for k, v in d.items():
+                    col = cols_d.setdefault(k, [None] * g.num_ots)
+                    col[local] = v
+            for k, col in cols_d.items():
+                g.set_ot_score_col(k, col)
 
 
 def _parse_guides(rows: List[str], annotations: List[str],
@@ -558,37 +688,12 @@ def _parse_guides(rows: List[str], annotations: List[str],
         buf = "".join(cols).encode("ascii")
         col_offsets = np.zeros(n + 1, dtype=np.int64)
         np.cumsum([len(c) for c in cols], out=col_offsets[1:])
-        parsed = native.parse_ot_tokens(buf, col_offsets, caps,
-                                        maximum_mismatches,
+        parsed = native.parse_ot_tokens(buf, col_offsets[:-1], col_offsets[1:],
+                                        caps, maximum_mismatches,
                                         bit_encoding.pack.total_scan_length,
                                         _contig_name_list(pos_enc))
     if parsed is not None:
-        ot_longs, valid, coords, coord_offsets, hit_start, score_ranges = parsed
-        for i, g in enumerate(guides):
-            s, e = int(hit_start[i]), int(hit_start[i + 1])
-            if s == e:
-                continue
-            offs = coord_offsets[s:e + 1] - coord_offsets[s]
-            g.set_ots_arrays(ot_longs[s:e],
-                             coords[coord_offsets[s]:coord_offsets[e]],
-                             offs, valid[s:e])
-        if score_ranges:
-            text = buf.decode("ascii")
-            per_guide: Dict[int, List[Tuple[int, Dict[str, str]]]] = {}
-            for hit, beg, end in score_ranges:
-                gi = int(np.searchsorted(hit_start, hit, side="right")) - 1
-                d = dict(pair.split(SCORES_PAIRING)
-                         for pair in text[beg:end].split(SCORES_SEPARATOR))
-                per_guide.setdefault(gi, []).append((hit - int(hit_start[gi]), d))
-            for gi, pairs in per_guide.items():
-                g = guides[gi]
-                cols_d: Dict[str, List[Optional[str]]] = {}
-                for local, d in pairs:
-                    for k, v in d.items():
-                        col = cols_d.setdefault(k, [None] * g.num_ots)
-                        col[local] = v
-                for k, col in cols_d.items():
-                    g.set_ot_score_col(k, col)
+        _install_parsed_ots(guides, parsed, buf)
         return guides
 
     for g, col in zip(guides, cols):

@@ -324,7 +324,9 @@ int64_t ff_render_ot_tokens(
 
 // Parse every guide's OT token section back into columnar arrays.
 //
-// buf/col_offsets: concatenated token-column bytes per guide.
+// buf: the raw file bytes; guide g's token column is buf[col_beg[g],
+// col_end[g]) — ranges may be non-contiguous slices of the original file
+// (zero-copy parse; no concatenated column buffer is ever built).
 // caps: per-guide overflow cap (<=0 = unlimited); hits are appended while
 // the accumulated position count stays below the cap (CRISPRSiteOT.addOT).
 // max_mm: drop tokens whose recorded mismatch count exceeds it.
@@ -333,7 +335,8 @@ int64_t ff_render_ot_tokens(
 // Returns number of hits, or -1 (an out capacity too small: caller grows) /
 // -2 (grammar/contig error: caller falls back to the host parser).
 int64_t ff_parse_ot_tokens(
-    const char* buf, const int64_t* col_offsets, int64_t n_guides,
+    const char* buf, const int64_t* col_beg, const int64_t* col_end,
+    int64_t n_guides,
     const int64_t* caps, int64_t max_mm, int32_t L,
     const char* contig_buf, const int64_t* contig_offsets, int64_t n_contigs,
     uint64_t* out_longs, uint8_t* out_valid, int64_t n_hit_cap,
@@ -356,8 +359,8 @@ int64_t ff_parse_ot_tokens(
     code_of['a'] = 0; code_of['c'] = 1; code_of['g'] = 2; code_of['t'] = 3;
 
     for (int64_t g = 0; g < n_guides; ++g) {
-        const char* p = buf + col_offsets[g];
-        const char* const ge = buf + col_offsets[g + 1];
+        const char* p = buf + col_beg[g];
+        const char* const ge = buf + col_end[g];
         const int64_t cap = caps[g];
         int64_t current = 0;
         while (p < ge) {
