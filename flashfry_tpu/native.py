@@ -86,6 +86,9 @@ def _build_lib() -> Optional[ctypes.CDLL]:
                                  f64p, f64p, f64p, u8p]
     lib.ff_mismatches.restype = i64
     lib.ff_mismatches.argtypes = [u64p, u64p, i64p, i64, ctypes.c_uint64, u8p]
+    lib.ff_collect_hits.restype = i64
+    lib.ff_collect_hits.argtypes = [i64p, i64p, i64, i64p, u64p, u64p,
+                                    i64p, i64, i64p, u64p, i64p, u64p, i64]
     return lib
 
 
@@ -401,6 +404,47 @@ def score_ots(flat: np.ndarray, gi: np.ndarray, glongs: np.ndarray, L: int,
         cfd_o, hsu_o, jost_o, _ptr(out["differs"], ctypes.c_uint8))
     del keep
     return out
+
+
+def collect_hits(t: np.ndarray, g: np.ndarray, pos_offsets, positions,
+                 targets, caps: np.ndarray):
+    """Native discover-hit collection (ff_collect_hits). Inputs may be
+    memory-mapped database arrays (read in place). Returns
+    (hit_start (G+1), out_longs (H), coord_offsets (H+1), out_coords (C))
+    or None when the native library is unavailable or the arrays are not
+    directly addressable."""
+    lib = get_native()
+    if lib is None:
+        return None
+    t = np.ascontiguousarray(t, dtype=np.int64)
+    g = np.ascontiguousarray(g, dtype=np.int64)
+    caps = np.ascontiguousarray(caps, dtype=np.int64)
+    for arr, dt in ((pos_offsets, np.int64), (positions, np.uint64),
+                    (targets, np.uint64)):
+        if arr.dtype != dt or not arr.flags["C_CONTIGUOUS"]:
+            return None
+    n = int(t.shape[0])
+    n_guides = int(caps.shape[0])
+    hit_start = np.zeros(n_guides + 1, dtype=np.int64)
+    out_longs = np.empty(n, dtype=np.uint64)
+    coord_offsets = np.zeros(n + 1, dtype=np.int64)
+    coords_cap = n + (n >> 2) + 1024  # most targets have 1 position
+    for _ in range(2):
+        out_coords = np.empty(coords_cap, dtype=np.uint64)
+        got = lib.ff_collect_hits(
+            _ptr(t, ctypes.c_int64), _ptr(g, ctypes.c_int64), n,
+            _ptr(pos_offsets, ctypes.c_int64), _ptr(positions, ctypes.c_uint64),
+            _ptr(targets, ctypes.c_uint64),
+            _ptr(caps, ctypes.c_int64), n_guides,
+            _ptr(hit_start, ctypes.c_int64), _ptr(out_longs, ctypes.c_uint64),
+            _ptr(coord_offsets, ctypes.c_int64),
+            _ptr(out_coords, ctypes.c_uint64), coords_cap)
+        if got >= 0:
+            h = int(hit_start[-1])
+            return (hit_start, out_longs[:h],
+                    coord_offsets[:h + 1], out_coords[:got])
+        coords_cap = -int(got)  # exact size from the count pass
+    return None
 
 
 def mismatch_counts(a: np.ndarray, b: np.ndarray, gi=None,

@@ -493,6 +493,92 @@ void ff_segment_fold_f64(const double* vals, const double* weights,
     }
 }
 
+// Discover-phase hit collection: group the scan's (target, guide) hit
+// stream by guide preserving arrival order (global target-major per guide
+// — the order FlashFry applies hits in), apply the overflow-cap accept
+// rule, and assemble the accepted hits' packed target longs plus the
+// flattened genomic-coordinate lists (global CSR) in one pass.
+//
+// Cap semantics == CRISPRSiteOT.addOT (crispr/CRISPRSiteOT.scala:41-46):
+// a hit is accepted iff the guide's accumulated genomic-position count
+// BEFORE it is below the cap (cap <= 0 = unlimited); the position count
+// accumulates over every prior hit, which equals the reference's
+// accept-while-not-full rule because rejection is terminal.
+//
+// pos_offsets/positions/targets may point into memory-mapped database
+// files. Returns the total accepted coordinate count; if it exceeds
+// coords_cap nothing is filled and -(needed) is returned so the caller
+// can retry with an exact allocation.
+int64_t ff_collect_hits(const int64_t* t, const int64_t* g, int64_t n,
+                        const int64_t* pos_offsets, const uint64_t* positions,
+                        const uint64_t* targets,
+                        const int64_t* caps, int64_t n_guides,
+                        int64_t* hit_start,      // (n_guides+1) accepted CSR
+                        uint64_t* out_longs,     // capacity n
+                        int64_t* coord_offsets,  // capacity n+1, global CSR
+                        uint64_t* out_coords, int64_t coords_cap) {
+    // stable counting-scatter: tg = targets grouped by guide
+    std::vector<int64_t> seg(n_guides + 1, 0);
+    for (int64_t i = 0; i < n; ++i) seg[g[i] + 1]++;
+    for (int64_t q = 0; q < n_guides; ++q) seg[q + 1] += seg[q];
+    std::vector<int64_t> tg(n);
+    {
+        std::vector<int64_t> w(seg.begin(), seg.end() - 1);
+        for (int64_t i = 0; i < n; ++i) tg[w[g[i]]++] = t[i];
+    }
+    // count pass: accepted hits + accepted coords per guide
+    std::vector<int64_t> acc_n(n_guides), acc_c(n_guides);
+    #ifdef _OPENMP
+    #pragma omp parallel for schedule(dynamic, 256)
+    #endif
+    for (int64_t q = 0; q < n_guides; ++q) {
+        const int64_t cap = caps[q];
+        int64_t current = 0, na = 0, nc = 0;
+        for (int64_t i = seg[q]; i < seg[q + 1]; ++i) {
+            const int64_t tt = tg[i];
+            const int64_t c = pos_offsets[tt + 1] - pos_offsets[tt];
+            if (cap <= 0 || current < cap) { ++na; nc += c; }
+            current += c;
+        }
+        acc_n[q] = na;
+        acc_c[q] = nc;
+    }
+    hit_start[0] = 0;
+    int64_t coords_total = 0;
+    std::vector<int64_t> cbase(n_guides);
+    for (int64_t q = 0; q < n_guides; ++q) {
+        hit_start[q + 1] = hit_start[q] + acc_n[q];
+        cbase[q] = coords_total;
+        coords_total += acc_c[q];
+    }
+    if (coords_total > coords_cap) return -coords_total;
+    // fill pass
+    coord_offsets[0] = 0;
+    #ifdef _OPENMP
+    #pragma omp parallel for schedule(dynamic, 256)
+    #endif
+    for (int64_t q = 0; q < n_guides; ++q) {
+        const int64_t cap = caps[q];
+        int64_t current = 0;
+        int64_t h = hit_start[q];
+        int64_t co = cbase[q];
+        for (int64_t i = seg[q]; i < seg[q + 1]; ++i) {
+            const int64_t tt = tg[i];
+            const int64_t b = pos_offsets[tt], e = pos_offsets[tt + 1];
+            const int64_t c = e - b;
+            if (cap <= 0 || current < cap) {
+                out_longs[h] = targets[tt];
+                std::memcpy(out_coords + co, positions + b,
+                            (size_t)c * sizeof(uint64_t));
+                co += c;
+                coord_offsets[++h] = co;
+            }
+            current += c;
+        }
+    }
+    return coords_total;
+}
+
 // Elementwise masked mismatch counts over packed 2-bit encodings
 // (BitEncoding.scala:127-132: XOR, mask, fold bit pairs, popcount).
 //

@@ -204,3 +204,65 @@ def test_pruned_comparisons_device_equals_host():
             want = pruned_comparisons(db, guides, mm)
             got = pruned_comparisons_device(db, guides, mm, guide_chunk=64)
             assert got == want and want > 0, (pack.name, mm)
+
+
+def test_native_collect_matches_numpy_collect():
+    """ff_collect_hits must reproduce the numpy collect exactly: grouping
+    order, the overflow-cap accept rule (positions accumulate over ALL
+    prior hits), coordinate lists, and current_total — including guides
+    whose single multi-position target blows straight past the cap (the
+    retry path for the coords buffer)."""
+    import numpy as np
+    from flashfry_tpu.bitcoding import BitEncoding
+    from flashfry_tpu.database import build_database_from_sites
+    from flashfry_tpu.discovery import find_target_sites
+    from flashfry_tpu.engine import _collect_hits
+    from flashfry_tpu.standards import Cas9NGGParameterPack
+    from flashfry_tpu.targetio import GuideWithOffTargets
+    from flashfry_tpu import native as ffnative
+    import os
+
+    rng = np.random.default_rng(17)
+    base = "".join("ACGT"[c] for c in rng.integers(0, 4, size=40000))
+    # plant a repeated segment so some targets carry many positions
+    seg = base[1000:1400]
+    genome = base + seg * 40
+    sites = find_target_sites(iter([("chrT", genome)]), Cas9NGGParameterPack)
+    db = build_database_from_sites(sites, 7)
+    enc = BitEncoding(db.pack)
+
+    n_g = 60
+    gl = db.targets[rng.choice(db.num_targets, size=n_g, replace=False)]
+    mm = enc.mismatches_cross(db.targets, gl)
+    t, g = np.nonzero(mm <= 4)
+    # arrival order: target-major per guide (as the scan yields)
+    chunks = [(t, g, mm[t, g].astype(np.int8))]
+
+    def make_guides(cap):
+        return [GuideWithOffTargets("c", i, "A" * 23, True, None,
+                                    int(x) | (1 << 48), overflow_cap=cap)
+                for i, x in enumerate(gl)]
+
+    if ffnative.get_native() is None:
+        import pytest
+        pytest.skip("native library unavailable")
+
+    for cap in (0, 3, 25, 2000):
+        ga = make_guides(cap)
+        gb = make_guides(cap)
+        _collect_hits(db, ga, iter(list(chunks)))  # native path
+        os.environ["FLASHFRY_TPU_NO_NATIVE"] = "1"
+        try:
+            ffnative._lib_tried = True
+            ffnative._lib = None
+            _collect_hits(db, gb, iter(list(chunks)))  # numpy path
+        finally:
+            del os.environ["FLASHFRY_TPU_NO_NATIVE"]
+            ffnative._lib_tried = False
+        for a, b in zip(ga, gb):
+            la, lb = a.ot_arrays(), b.ot_arrays()
+            assert np.array_equal(la[0], lb[0]), cap
+            assert np.array_equal(la[1], lb[1]), cap
+            assert np.array_equal(la[2], lb[2]), cap
+            assert a.current_total == b.current_total
+            assert a.full == b.full
