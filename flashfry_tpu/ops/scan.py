@@ -538,8 +538,13 @@ class DeviceScanner:
         import jax
         g_all = np.asarray(guide_longs, dtype=np.uint64)
         n_guides = g_all.shape[0]
+        # max block 2048 guides: measured v5e (8192 guides, hg38 scale,
+        # mm=4) 0.42 s per 1024-guide-equivalent at block 2048 vs 0.57 s at
+        # 1024 (fixed dispatch+fetch amortizes) — but 4096 forces the
+        # stage-1 column cap up 4x (more guides light up more columns per
+        # chunk) and is net slower
         block = 128
-        while block < n_guides and block < 1024:
+        while block < n_guides and block < 2048:
             block *= 2
         blocks = interleaved_blocks(n_guides, block)
         key = int(max_mismatch)
