@@ -222,12 +222,16 @@ def presize_caps(scanner, genome_mb, detail):
     will succeed instead of paying the escalation chain (each escalated cap
     is a fresh executable; compiles are persistent-cached but a cold cache
     costs minutes per shape on this 2-core host). trip_cap bounds triplets
-    PER GUIDE-BLOCK dispatch (blocks of <=1024 guides), so the pinned
-    GLOBAL count is scaled down to a per-block share (x4 safety margin for
-    skew) when the guide set spans multiple blocks — a global-count presize
-    would over-provision every in-flight fetch buffer. The caps actually
-    used are recorded in the bench detail."""
-    n_blocks = max(1, -(-N_GUIDES // 1024))
+    PER GUIDE-BLOCK dispatch (block size mirrors DeviceScanner.scan:
+    128..2048 guides), so the pinned GLOBAL count is scaled down to a
+    per-block share (x4 safety margin for skew) when the guide set spans
+    multiple blocks — a global-count presize would over-provision every
+    in-flight fetch buffer. The caps actually used are recorded in the
+    bench detail."""
+    block = 128
+    while block < N_GUIDES and block < 2048:
+        block *= 2
+    n_blocks = max(1, -(-N_GUIDES // block))
     for mm in (3, 4, 5):
         path = _pin_path(genome_mb, "expected_hits_mm%d" % mm)
         if not os.path.exists(path):
@@ -392,6 +396,8 @@ def library_row(db, scanner, genome_mb, detail, platform):
         m.score_guides(sguides, bit_enc, pos_enc, db.pack)
         d["score_%s_s" % name] = round(time.time() - t0, 2)
         models.append(m)
+    from flashfry_tpu.scoring.base import clear_flat_cache
+    clear_flat_cache()  # ~1 GB of memoized intermediates at 100k guides
     be = None
     from flashfry_tpu.scoring.otbatch import backend as score_backend
     be = score_backend()

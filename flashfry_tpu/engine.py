@@ -393,9 +393,17 @@ def discover(db: Database, guide_sites: DiscoveredSites,
         # (Traverser.scala:66-74, OffTargetDiscovery.scala:137). With
         # --forceLinear the numpy path skips the bin mask; mirror that.
         t_cnt = time.time()
-        stats.all_comparisons = (
-            stats.dense_comparisons if force_linear
-            else pruned_comparisons_device(db, guide_longs, max_mismatch))
+        if force_linear:
+            stats.all_comparisons = stats.dense_comparisons
+        elif db.num_targets < 2 ** 31:
+            stats.all_comparisons = pruned_comparisons_device(
+                db, guide_longs, max_mismatch)
+        else:
+            # beyond the device counter's int32 per-guide range (streaming
+            # databases past hg38 scale): the int64 host counter, rather
+            # than failing a finished discover over a log statistic
+            stats.all_comparisons = pruned_comparisons(
+                db, guide_longs, max_mismatch)
         stats.counter_seconds = time.time() - t_cnt
     stats.scan_seconds = time.time() - t0
     return guides

@@ -667,7 +667,18 @@ class DeviceScanner:
                     # repays the one extra retry on the first scan
                     caps[0] = min(caps[0] * 2, COL_CAP_MAX)
                 elif self.chunk > self._min_chunk:
-                    self.chunk = max(self.chunk // 4, self._min_chunk)
+                    # the new chunk must DIVIDE the current one (any
+                    # divisor also divides the padded code width, so the
+                    # chunk loop still covers every column) and stay a
+                    # _min_chunk (T_TILE) multiple for the Pallas tile
+                    # contract; prefer /4, then /2, then the tile floor
+                    for d in (4, 2):
+                        if self.chunk % (d * self._min_chunk) == 0:
+                            self.chunk //= d
+                            break
+                    else:
+                        if self.chunk % self._min_chunk == 0:
+                            self.chunk = self._min_chunk
                     logging.getLogger(__name__).info(
                         "col cap at ceiling %d: shrinking chunk to %d",
                         caps[0], self.chunk)

@@ -142,6 +142,11 @@ class ShardedScanner:
         self.chunk = chunk
         self.cap = cap
         self.trip_cap = trip_cap
+        # sticky escalated caps PER max_mismatch, threaded through each
+        # scan as generator-locals (mirrors DeviceScanner: one mm=5 scan
+        # must not leave later mm=4 scans paying 4x compaction domains,
+        # and interleaved generators must not cross-contaminate)
+        self._caps = {}
         import os
         fsm = os.environ.get("FLASHFRY_TPU_FETCH_SLICE_MIN")
         if fsm is not None:
@@ -299,6 +304,8 @@ class ShardedScanner:
         blocks = interleaved_blocks(n_guides, block)
         pending = deque()
         it = iter(blocks)
+        caps = list(self._caps.get(int(max_mismatch),
+                                   (self.cap, self.trip_cap)))
 
         def fill():
             while len(pending) < self.PIPELINE_DEPTH:
@@ -307,19 +314,23 @@ class ShardedScanner:
                     return
                 self._record("dispatch", int(idx[0]) if idx.size else 0)
                 out_d, trip_cap = self._dispatch(g_all[idx], max_mismatch,
-                                                 stats, block)
+                                                 stats, block, caps)
                 pending.append((idx, out_d, trip_cap))
 
-        fill()
-        while pending:
-            idx, out_d, trip_cap = pending.popleft()
-            self._record("fetch", int(idx[0]) if idx.size else 0)
-            for t_idx, g_idx, mm in self._collect_block(
-                    g_all[idx], max_mismatch, block, out_d, trip_cap):
-                yield t_idx, idx[g_idx], mm
+        try:
             fill()
+            while pending:
+                idx, out_d, trip_cap = pending.popleft()
+                self._record("fetch", int(idx[0]) if idx.size else 0)
+                for t_idx, g_idx, mm in self._collect_block(
+                        g_all[idx], max_mismatch, block, out_d, trip_cap,
+                        caps):
+                    yield t_idx, idx[g_idx], mm
+                fill()
+        finally:
+            self._caps[int(max_mismatch)] = (caps[0], caps[1])
 
-    def _dispatch(self, guide_longs, max_mismatch, stats, pad_to):
+    def _dispatch(self, guide_longs, max_mismatch, stats, pad_to, caps):
         """Launch one guide block asynchronously over the mesh; returns
         (global device buffer, trip_cap used)."""
         from jax.sharding import PartitionSpec as P
@@ -334,9 +345,8 @@ class ShardedScanner:
             stats.dense_comparisons += self.n * G
         goh_d = self._make_global(guide_oh, P("guides", None))
         na_d = self._make_global(n_active, P("guides"))
-        step = self._step(max_mismatch, guide_oh.shape[0], self.cap,
-                          self.trip_cap)
-        return step(self.codes, goh_d, na_d), self.trip_cap
+        step = self._step(max_mismatch, guide_oh.shape[0], caps[0], caps[1])
+        return step(self.codes, goh_d, na_d), caps[1]
 
     FETCH_SLICE_MIN = 1 << 19  # per-shard slots; larger buffers fetch count-first
 
@@ -406,7 +416,7 @@ class ShardedScanner:
         return parsed
 
     def _collect_block(self, guide_longs, max_mismatch, pad_to, out_d,
-                       trip_cap):
+                       trip_cap, caps):
         """Fetch + merge one guide block's sharded buffers; on cap overflow
         re-dispatch just this block at escalated caps."""
         from ..ops.scan import MAX_RETRIES
@@ -431,13 +441,13 @@ class ShardedScanner:
             # col x2 for a finer stage-2 fit, trip x4)
             from ..ops.scan import COL_CAP_MAX, TRIP_CAP_MAX
             if col_of:
-                self.cap = min(self.cap * 2, COL_CAP_MAX)
+                caps[0] = min(caps[0] * 2, COL_CAP_MAX)
             if trip_of:
-                self.trip_cap = min(self.trip_cap * 4, TRIP_CAP_MAX)
+                caps[1] = min(caps[1] * 4, TRIP_CAP_MAX)
             if _attempt == MAX_RETRIES:
                 break  # out of retries: exact host fallback below
             out_d, trip_cap = self._dispatch(guide_longs, max_mismatch, None,
-                                             pad_to)
+                                             pad_to, caps)
         # exact host fallback (this guide block only)
         import logging
         logging.getLogger(__name__).warning(

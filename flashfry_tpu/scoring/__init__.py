@@ -115,9 +115,13 @@ def run_score_module(args) -> None:
             m.initialize_score_names(ranked)
 
     logger.info("Scoring all guides...")
-    for model in models:
-        logger.info("Scoring with model %s", model.score_name())
-        model.score_guides(guides, bit_enc, pos_enc, pack)
+    try:
+        for model in models:
+            logger.info("Scoring with model %s", model.score_name())
+            model.score_guides(guides, bit_enc, pos_enc, pack)
+    finally:
+        from .base import clear_flat_cache
+        clear_flat_cache()  # ~1 GB of memoized intermediates at 100k guides
 
     # ResultsAggregator re-sorts by start before output (ScoreResults.scala:137)
     guides = sorted(guides, key=lambda g: g.start)

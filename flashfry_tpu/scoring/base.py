@@ -41,6 +41,16 @@ def flatten_guide_ots(guides: Sequence[GuideWithOffTargets]
 _flat_memo = None
 
 
+def clear_flat_cache() -> None:
+    """Release the flatten memo (and the OT score-batch memo riding on the
+    same arrays): at library scale they pin ~1 GB of scoring intermediates
+    that would otherwise outlive the score phase."""
+    global _flat_memo
+    _flat_memo = None
+    from . import otbatch
+    otbatch.clear_batch_cache()
+
+
 def flatten_guide_ots_cached(guides: Sequence[GuideWithOffTargets]):
     """(flat, offsets, glongs, gi) for a guide list, memoized across the
     scoring models of one run.
@@ -48,14 +58,20 @@ def flatten_guide_ots_cached(guides: Sequence[GuideWithOffTargets]):
     Every model's batched pass needs the same concatenation of all guides'
     OT arrays plus the per-OT guide index; at 100k guides x 18M OTs each
     build costs ~2.5 s of fresh-page allocations, and a five-metric score
-    run repeats it five times. The memo keys on the guide OBJECT identities
-    (first/last) plus the count — the score driver passes the same list to
-    every model and nothing mutates OT arrays between models (per-OT score
-    columns attach to a separate store). Callers that mutate OT sets
-    between calls must not use the cached variant."""
+    run repeats it five times. The memo key includes the guide OBJECT
+    identities (first/last), their OT-array object identities and the
+    total OT count, so re-scoring the same guides after their OT sets were
+    refilled (set_ots_arrays installs a NEW array tuple) rebuilds, and a
+    recycled-id collision would additionally need matching counts. The
+    score driver clears the memo when the run ends (clear_flat_cache)."""
     global _flat_memo
-    key = (len(guides), id(guides[0]) if guides else 0,
-           id(guides[-1]) if guides else 0)
+    if not guides:
+        z = np.zeros(0, np.uint64)
+        return z, np.zeros(1, np.int64), z, np.zeros(0, np.int64)
+    total = sum(g.num_ots for g in guides)
+    key = (len(guides), id(guides[0]), id(guides[-1]),
+           id(guides[0]._arr), id(guides[-1]._arr),
+           guides[0].num_ots, guides[-1].num_ots, total)
     if _flat_memo is not None and _flat_memo[0] == key:
         return _flat_memo[1]
     flat, offsets = flatten_guide_ots(guides)

@@ -271,6 +271,14 @@ _memo_key = None
 _memo_batch: Optional[OTScoreBatch] = None
 
 
+def clear_batch_cache() -> None:
+    """Drop the memoized batch (its cached code matrices alone are
+    ~430 MB at library scale)."""
+    global _memo_key, _memo_batch
+    _memo_key = None
+    _memo_batch = None
+
+
 def get_batch(flat: np.ndarray, gi: np.ndarray, glongs: np.ndarray, L: int,
               act_pos: np.ndarray) -> OTScoreBatch:
     """Memoized single-entry batch cache: consecutive models scoring the

@@ -152,3 +152,31 @@ def test_jost_19mer_backend_parity(be):
     assert (cols[be][0].view(np.int64)
             == cols["numpy"][0].view(np.int64)).all()
     assert (cols[be][1] == cols["numpy"][1]).all()
+
+
+def test_flat_cache_invalidates_when_ot_sets_change():
+    """Re-scoring the same guide objects after their OT sets were refilled
+    (set_ots_arrays installs a new array tuple) must NOT serve the stale
+    flatten memo (round-4 review finding)."""
+    from flashfry_tpu.scoring.base import (clear_flat_cache,
+                                           flatten_guide_ots_cached)
+    from flashfry_tpu.targetio import GuideWithOffTargets
+    clear_flat_cache()
+    guides = [GuideWithOffTargets("c", i, "A" * 23, True, None,
+                                  (1 << 48) | i) for i in range(4)]
+    for i, g in enumerate(guides):
+        longs = np.arange(i + 1, dtype=np.uint64) | (np.uint64(1) << np.uint64(48))
+        g.set_ots_arrays(longs, longs.copy(),
+                         np.arange(i + 2, dtype=np.int64))
+    flat1, off1, _, _ = flatten_guide_ots_cached(guides)
+    # same objects, same lengths per guide, NEW arrays with different values
+    for i, g in enumerate(guides):
+        longs = (np.arange(i + 1, dtype=np.uint64) + np.uint64(77)) \
+            | (np.uint64(1) << np.uint64(48))
+        g.set_ots_arrays(longs, longs.copy(),
+                         np.arange(i + 2, dtype=np.int64))
+    flat2, off2, _, _ = flatten_guide_ots_cached(guides)
+    assert np.array_equal(off1, off2)
+    assert not np.array_equal(flat1, flat2), \
+        "stale flatten memo served after OT refill"
+    clear_flat_cache()
