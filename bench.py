@@ -223,13 +223,13 @@ def presize_caps(scanner, genome_mb, detail):
     is a fresh executable; compiles are persistent-cached but a cold cache
     costs minutes per shape on this 2-core host). trip_cap bounds triplets
     PER GUIDE-BLOCK dispatch (block size mirrors DeviceScanner.scan:
-    128..2048 guides), so the pinned GLOBAL count is scaled down to a
+    128..1024 guides), so the pinned GLOBAL count is scaled down to a
     per-block share (x4 safety margin for skew) when the guide set spans
     multiple blocks — a global-count presize would over-provision every
     in-flight fetch buffer. The caps actually used are recorded in the
     bench detail."""
     block = 128
-    while block < N_GUIDES and block < 2048:
+    while block < N_GUIDES and block < 1024:
         block *= 2
     n_blocks = max(1, -(-N_GUIDES // block))
     for mm in (3, 4, 5):
@@ -352,10 +352,26 @@ def library_row(db, scanner, genome_mb, detail, platform):
                                capture_context=True)
     d["guide_site_discovery_s"] = round(time.time() - t0, 2)
 
+    # presize the library scan's caps from the previous run's final values
+    # (the escalation chain's intermediate executables cost ~7-20 s of
+    # remote compile each; the pin makes the official run dispatch straight
+    # at the caps that work)
+    caps_pin = _pin_path(genome_mb, "lib%d_caps" % LIB_GUIDES)
+    if os.path.exists(caps_pin):
+        with open(caps_pin) as fh:
+            c = json.load(fh)["v"]
+        cur = scanner._caps.get(4, (scanner._cap0, scanner._trip0))
+        scanner._caps[4] = (max(cur[0], c[0]), max(cur[1], c[1]))
+        log("presized library caps to %s" % (scanner._caps[4],))
+
     stats = ScanStats()
     t0 = time.time()
     guides = discover(db, gsites, max_mismatch=4, maximum_off_targets=2000,
                       backend="auto", stats=stats, scanner=scanner)
+    if not os.path.exists(caps_pin):
+        with open(caps_pin, "w") as fh:
+            json.dump({"v": list(scanner._caps.get(
+                4, (scanner._cap0, scanner._trip0)))}, fh)
     d["scan_collect_s"] = round(time.time() - t0, 2)
     d["collect_host_seconds"] = round(stats.collect_seconds, 2)
     d["pruned_counter_seconds"] = round(stats.counter_seconds, 2)

@@ -262,11 +262,15 @@ def make_fused_scan(L: int, n_act: int, max_mm: int, chunk: int, g_rows: int,
     # per-chunk triplet block size: nonzero packs real hits first, so the
     # block is appended with one contiguous dynamic_update_slice (TPU scatter
     # lowering is slow; DUS is a plain copy). The buffer is over-allocated by
-    # a block so the append window never clamps. 2x the column cap (not 4x):
-    # hit columns almost always match a single guide, the pair-compaction
-    # pass costs ~0.9 ms/chunk per block_cap doubling (measured v5e), and a
-    # rare k > block_cap chunk just escalates caps like any other overflow.
-    block_cap = min(trip_cap, col_cap * 2)
+    # a block so the append window never clamps. 8x the column cap: on a
+    # repeat-rich genome one hit column matches MANY guides of the same
+    # family in the block (k per chunk >> n_cols), and since k > block_cap
+    # raises the COLUMN overflow flag, a tight multiplier spuriously
+    # escalated col_cap to 32768 on the 100k-guide library — quadrupling
+    # the stage-2 (col_cap, G) domain (~150 s/scan) — while a block_cap
+    # doubling costs only ~0.9 ms/chunk (measured v5e). 8x keeps genuine
+    # column overflows detectable at negligible cost.
+    block_cap = min(trip_cap, col_cap * 8)
     width = trip_cap + block_cap + 2
 
     def f(codes_full, guide_oh, n_active):
@@ -538,13 +542,16 @@ class DeviceScanner:
         import jax
         g_all = np.asarray(guide_longs, dtype=np.uint64)
         n_guides = g_all.shape[0]
-        # max block 2048 guides: measured v5e (8192 guides, hg38 scale,
-        # mm=4) 0.42 s per 1024-guide-equivalent at block 2048 vs 0.57 s at
-        # 1024 (fixed dispatch+fetch amortizes) — but 4096 forces the
-        # stage-1 column cap up 4x (more guides light up more columns per
-        # chunk) and is net slower
+        # NEGATIVE RESULT (measured v5e, round 4): raising the max block to
+        # 2048 looked 25% faster in an isolated 8192-guide probe with caps
+        # pinned, but on the full 100k-guide library it was 2.5x SLOWER
+        # (66 s -> 167 s): twice the guides per block light up ~twice the
+        # stage-1 columns per chunk, the column cap escalates to match, and
+        # stage-2 compaction cost scales with G x col_cap — so bigger
+        # blocks pay ~4x stage-2 per block (2x per guide), swamping the
+        # dispatch/fetch amortization. 1024 stays the sweet spot.
         block = 128
-        while block < n_guides and block < 2048:
+        while block < n_guides and block < 1024:
             block *= 2
         blocks = interleaved_blocks(n_guides, block)
         key = int(max_mismatch)
@@ -655,11 +662,18 @@ class DeviceScanner:
                     return
                 buf_d, cap, trip_cap = self._dispatch_block(
                     g_all[idx], max_mismatch, stats, pad_to, codes, caps)
-                pending.append((idx, buf_d, trip_cap))
+                pending.append((idx, buf_d, cap, trip_cap))
 
-        def escalate(overflow, count, trip_cap):
+        def escalate(overflow, count, used_col, used_trip):
+            """Grow only the cap that tripped, and ONLY if this dispatch
+            actually used the current value — the pipeline keeps
+            PIPELINE_DEPTH blocks in flight at the caps of their dispatch
+            time, and without this guard three stale-cap failures escalate
+            three times in a row (observed: col 4096 -> 32768 in one
+            burst, putting every later block on a 4x-too-large stage-2
+            domain, ~150 s/scan at library scale)."""
             import logging
-            if overflow & 1:
+            if (overflow & 1) and caps[0] == used_col:
                 if caps[0] < COL_CAP_MAX:
                     # x2 steps: stage-2 cost is ~linear in col_cap (measured
                     # v5e, 1000g/mm=4 hg38: col 8192 scans in 0.57 s vs
@@ -682,12 +696,22 @@ class DeviceScanner:
                     logging.getLogger(__name__).info(
                         "col cap at ceiling %d: shrinking chunk to %d",
                         caps[0], self.chunk)
-            if (overflow & 2) or count > trip_cap:
-                caps[1] = min(caps[1] * 4, TRIP_CAP_MAX)
+            if ((overflow & 2) or count > used_trip) and caps[1] == used_trip:
+                # `count` is the TRUE triplet total even when the buffer
+                # overflowed (per-chunk counts accumulate unclamped), so
+                # jump straight to a power-of-two covering it (+25%
+                # headroom) instead of x4 stepping — every intermediate cap
+                # is a fresh executable, and compiles cost ~7-20 s each on
+                # the remote chip (measured: a 100k-guide scan's escalation
+                # chain burned ~60 s in compiles). count undercounts only
+                # if columns also overflowed; the next retry re-escalates.
+                want = max(caps[1] * 4, 1 << int(count + count // 4
+                                                 ).bit_length())
+                caps[1] = min(want, TRIP_CAP_MAX)
 
         fill()
         while pending:
-            idx, buf_d, trip_cap = pending.popleft()
+            idx, buf_d, used_col, trip_cap = pending.popleft()
             for _attempt in range(1 + MAX_RETRIES):
                 t_idx, g_idx, mm, count, overflow = self._fetch_triplets(
                     buf_d, trip_cap)
@@ -695,10 +719,10 @@ class DeviceScanner:
                     if count:
                         yield t_idx, idx[g_idx], mm
                     break
-                escalate(overflow, count, trip_cap)
+                escalate(overflow, count, used_col, trip_cap)
                 if _attempt == MAX_RETRIES:
                     continue  # out of retries: fall through to the host scan
-                buf_d, _, trip_cap = self._dispatch_block(
+                buf_d, used_col, trip_cap = self._dispatch_block(
                     g_all[idx], max_mismatch, None, pad_to, codes, caps)
             else:
                 import logging

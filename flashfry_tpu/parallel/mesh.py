@@ -313,18 +313,18 @@ class ShardedScanner:
                 if idx is None:
                     return
                 self._record("dispatch", int(idx[0]) if idx.size else 0)
-                out_d, trip_cap = self._dispatch(g_all[idx], max_mismatch,
-                                                 stats, block, caps)
-                pending.append((idx, out_d, trip_cap))
+                out_d, used_col, trip_cap = self._dispatch(
+                    g_all[idx], max_mismatch, stats, block, caps)
+                pending.append((idx, out_d, used_col, trip_cap))
 
         try:
             fill()
             while pending:
-                idx, out_d, trip_cap = pending.popleft()
+                idx, out_d, used_col, trip_cap = pending.popleft()
                 self._record("fetch", int(idx[0]) if idx.size else 0)
                 for t_idx, g_idx, mm in self._collect_block(
-                        g_all[idx], max_mismatch, block, out_d, trip_cap,
-                        caps):
+                        g_all[idx], max_mismatch, block, out_d, used_col,
+                        trip_cap, caps):
                     yield t_idx, idx[g_idx], mm
                 fill()
         finally:
@@ -346,7 +346,7 @@ class ShardedScanner:
         goh_d = self._make_global(guide_oh, P("guides", None))
         na_d = self._make_global(n_active, P("guides"))
         step = self._step(max_mismatch, guide_oh.shape[0], caps[0], caps[1])
-        return step(self.codes, goh_d, na_d), caps[1]
+        return step(self.codes, goh_d, na_d), caps[0], caps[1]
 
     FETCH_SLICE_MIN = 1 << 19  # per-shard slots; larger buffers fetch count-first
 
@@ -416,9 +416,11 @@ class ShardedScanner:
         return parsed
 
     def _collect_block(self, guide_longs, max_mismatch, pad_to, out_d,
-                       trip_cap, caps):
+                       used_col, trip_cap, caps):
         """Fetch + merge one guide block's sharded buffers; on cap overflow
-        re-dispatch just this block at escalated caps."""
+        re-dispatch just this block at escalated caps. The caps==used
+        guards prevent the pipeline's in-flight stale-cap failures from
+        escalating several times in a burst (see DeviceScanner.escalate)."""
         from ..ops.scan import MAX_RETRIES
 
         g_local = pad_to // self.Gx
@@ -440,14 +442,14 @@ class ShardedScanner:
             # sticky + selective escalation, HBM-bounded (see DeviceScanner:
             # col x2 for a finer stage-2 fit, trip x4)
             from ..ops.scan import COL_CAP_MAX, TRIP_CAP_MAX
-            if col_of:
+            if col_of and caps[0] == used_col:
                 caps[0] = min(caps[0] * 2, COL_CAP_MAX)
-            if trip_of:
+            if trip_of and caps[1] == trip_cap:
                 caps[1] = min(caps[1] * 4, TRIP_CAP_MAX)
             if _attempt == MAX_RETRIES:
                 break  # out of retries: exact host fallback below
-            out_d, trip_cap = self._dispatch(guide_longs, max_mismatch, None,
-                                             pad_to, caps)
+            out_d, used_col, trip_cap = self._dispatch(
+                guide_longs, max_mismatch, None, pad_to, caps)
         # exact host fallback (this guide block only)
         import logging
         logging.getLogger(__name__).warning(
