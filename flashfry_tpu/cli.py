@@ -143,6 +143,13 @@ def cmd_discover(args) -> None:
     is_main = True
     backend = args.backend
     if args.coordinator is not None:
+        # multi-host runs the SPMD device scan on every process; the numpy
+        # oracle has no multi-process form, so honoring --backend numpy here
+        # would silently hand the user something else — reject instead
+        if backend == "numpy":
+            raise SystemExit(
+                "--coordinator (multi-host) requires the device scan; "
+                "--backend numpy is single-process only")
         # multi-host: every process runs the identical SPMD program over the
         # global (db, guides) mesh; the triplet buffers are allgathered so
         # every process reconstructs the same hit set, and process 0 writes

@@ -375,7 +375,17 @@ def discover(db: Database, guide_sites: DiscoveredSites,
     if use_numpy:
         hit_iter = _scan_numpy(db, guide_longs, max_mismatch, stats, bmask)
     elif scanner is not None:
-        assert scanner.db is db or scanner.db.num_targets == db.num_targets
+        # a resident scanner built from a DIFFERENT database would silently
+        # scan the wrong genome; identity or a cheap content fingerprint
+        # (ends + total position count — O(1) even on memmaps) must match
+        sdb = scanner.db
+        assert sdb is db or (
+            sdb.num_targets == db.num_targets
+            and int(sdb.pos_offsets[-1]) == int(db.pos_offsets[-1])
+            and (db.num_targets == 0
+                 or (sdb.targets[0] == db.targets[0]
+                     and sdb.targets[-1] == db.targets[-1]))), \
+            "resident scanner was built from a different database"
         hit_iter = scanner.scan(guide_longs, max_mismatch, bmask, stats)
     elif _device_count() > 1:
         # multi-chip: database sharded over the mesh's "db" axis, guide batch

@@ -138,7 +138,9 @@ def parse_block_longs(block: np.ndarray, bin_width: int
         count = int(t >> np.uint64(48))
         if count <= 0:
             raise ValueError("Encoded position count should be greater than zero")
-        if off + count >= n + 1 and off + 1 + count > n:
+        if off + 1 + count > n:
+            # truncated/corrupt block: the target's position entries would
+            # run past the end (BlockManager.scala:229-237 asserts the same)
             raise ValueError("position entries exceed the block size")
         targets.append(t)
         positions.append(np.asarray(data[off + 1: off + 1 + count], dtype=np.uint64))

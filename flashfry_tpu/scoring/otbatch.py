@@ -284,17 +284,19 @@ def get_batch(flat: np.ndarray, gi: np.ndarray, glongs: np.ndarray, L: int,
     """Memoized single-entry batch cache: consecutive models scoring the
     same guide set (same flat OT array) share one OTScoreBatch, so the
     device backend pays its upload/fetch once for all three models. The key
-    is exact on the cheap parts (shapes, guide longs, offsets into flat via
-    first/last samples) — a different OT set cannot collide because the
-    sampled longs and length would have to match element-wise."""
+    is EXACT: an md5 over the full flat/gi buffers plus the guide longs —
+    ~100 ms at 18M OTs, negligible vs the multi-second rebuild it guards,
+    and immune to the sampled-key collision a direct API user could hit
+    (two OT sets agreeing at the ~65 sampled positions)."""
+    import hashlib
     global _memo_key, _memo_batch
-    flat = np.asarray(flat, dtype=np.uint64)
+    flat = np.ascontiguousarray(flat, dtype=np.uint64)
     n = int(flat.shape[0])
-    sample = flat[:: max(1, n // 64)][:65]
-    key = (n, int(L), flat[0] if n else 0, flat[-1] if n else 0,
-           sample.tobytes(), np.asarray(glongs, np.uint64).tobytes(),
-           np.asarray(gi[:: max(1, n // 64)][:65], np.int64).tobytes(),
-           backend())
+    h = hashlib.md5()
+    h.update(flat)
+    h.update(np.ascontiguousarray(gi, dtype=np.int64))
+    key = (n, int(L), h.hexdigest(),
+           np.asarray(glongs, np.uint64).tobytes(), backend())
     if _memo_key == key and _memo_batch is not None:
         return _memo_batch
     _memo_key = key

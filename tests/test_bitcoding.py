@@ -217,3 +217,35 @@ def test_rejects_too_long():
     enc = BitEncoding(Cas9ParameterPack)
     with pytest.raises(ValueError):
         enc.encode_batch(["A" * 25])
+
+
+def test_mismatches_native_and_numpy_paths_agree():
+    """mismatches() routes through the native popcount kernel for large
+    equal-shape pairs (uint8 result) and the numpy SWAR chain otherwise
+    (int64 result). Both paths must agree VALUE-wise, and both dtypes must
+    survive the arithmetic callers actually perform (ADVICE r4: the dual
+    dtype is deliberate — one uint8 output allocation vs ~9 int64
+    temporaries at 18M pairs — but must stay semantically equivalent)."""
+    from flashfry_tpu.standards import Cas9NGGParameterPack
+
+    enc = BitEncoding(Cas9NGGParameterPack)
+    rng = np.random.default_rng(5)
+    n = (1 << 16) + 512  # just over the native-path threshold
+    a = (rng.integers(0, 1 << 48, size=n, dtype=np.uint64)
+         | (np.uint64(1) << np.uint64(48)))
+    b = (rng.integers(0, 1 << 48, size=n, dtype=np.uint64)
+         | (np.uint64(1) << np.uint64(48)))
+
+    large = enc.mismatches(a, b)                      # native path if built
+    small = enc.mismatches(a[:1024], b[:1024])        # numpy path always
+    assert np.issubdtype(large.dtype, np.integer)
+    assert small.dtype == np.int64
+    assert np.array_equal(large[:1024].astype(np.int64), small)
+
+    # caller-style arithmetic must not wrap on either dtype: the bincount
+    # key ClosestHit builds (gi * (K+1) + mm) promotes through int64
+    gi = rng.integers(0, 1000, size=n, dtype=np.int64)
+    key_large = gi * 5 + np.minimum(large.astype(np.int64), 4)
+    key_small = gi[:1024] * 5 + np.minimum(small, 4)
+    assert key_large.dtype == np.int64
+    assert np.array_equal(key_large[:1024], key_small)

@@ -158,3 +158,26 @@ def test_bgzf_stream_is_standard_gzip(tmp_path):
     ) + db.num_bins  # one type long per bin (all linear at this size? no —)
     assert len(raw) % 8 == 0
     assert len(raw) // 8 >= db.num_targets
+
+
+def test_parse_block_longs_truncated_block_raises():
+    """A target whose position count runs past the end of the block must
+    raise — exactly when off + 1 + count > n (BlockManager.scala:229-237).
+    Previously the garbled guard fired one long late, mis-slicing the final
+    target's positions instead of raising."""
+    enc = BitEncoding(Cas9NGGParameterPack)
+    t1 = np.uint64(enc.encode("A" * 23, count=2))
+    good = np.array([1, t1, 7, 8], dtype=np.uint64)  # type long + target + 2 pos
+    targets, pos_lists = parse_block_longs(good, 7)
+    assert targets.shape[0] == 1 and list(pos_lists[0]) == [7, 8]
+
+    # count says 2 positions but only 1 follows: off=0, count=2, n=3 -> raise
+    truncated = np.array([1, t1, 7], dtype=np.uint64)
+    with pytest.raises(ValueError, match="exceed the block size"):
+        parse_block_longs(truncated, 7)
+
+    # boundary: count exactly fits -> no raise (off + 1 + count == n)
+    t2 = np.uint64(enc.encode("C" * 23, count=1))
+    exact = np.array([1, t2, 9], dtype=np.uint64)
+    targets, pos_lists = parse_block_longs(exact, 7)
+    assert list(pos_lists[0]) == [9]
