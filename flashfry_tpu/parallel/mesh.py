@@ -167,8 +167,15 @@ class ShardedScanner:
         an optimization: a whole-shard expand materializes (L, shard_n)
         int32 row temps before the int8 cast — 34 GB at hg38 scale, OOM —
         while per-slab temps stay under 1 GB and the donated buffer updates
-        in place. Multi-host subclasses override to build only the local
-        slabs."""
+        in place.
+
+        Every host-side array is built through make_array_from_callback, so
+        in a MULTI-PROCESS run each host touches only its ADDRESSABLE db
+        shards: host p reads targets[p*shard_n : (p+1)*shard_n] from the
+        memmap'd database and uploads 8 B/target of packed words — ~1.4 GB
+        per host at hg38 scale (360M targets / 2 hosts), vs ~5.8 GB/host
+        for the round-4 expanded-plane upload, with no host-side 32 B/target
+        plane_codes build at all (VERDICT r4 #4)."""
         import jax
         import jax.numpy as jnp
         from jax import shard_map
@@ -208,22 +215,32 @@ class ShardedScanner:
                                    None, None),
                          out_specs=P(None, "db"), check_vma=False)
         jitted = jax.jit(step, donate_argnums=(0,))
-        shard_ids = jax.device_put(np.arange(D, dtype=np.int32),
-                                   NamedSharding(mesh, P("db")))
+        shard_ids = jax.make_array_from_callback(
+            (D,), NamedSharding(mesh, P("db")),
+            lambda idx: np.arange(D, dtype=np.int32)[idx])
 
         targets = self.db.targets
-        for i in range(shard_n // slab):
-            host_w = np.zeros((2, D * slab), dtype=np.int32)
-            for s in range(D):
+
+        def words_for_slab(i):
+            """Global (2, D*slab) packed-word array for slab i; the callback
+            runs per ADDRESSABLE shard only, reading just that shard's
+            target range from the (memmap-backed) database."""
+            def build(idx):
+                lo = idx[1].start or 0
+                s = lo // slab                      # db-shard coordinate
+                out = np.zeros((2, slab), dtype=np.int32)
                 g_lo = s * shard_n + i * slab
                 g_hi = min(max(g_lo, n), g_lo + slab)
                 if g_hi > g_lo:
                     lo_h, hi_h = split_words(targets[g_lo:g_hi])
-                    host_w[0, s * slab:s * slab + (g_hi - g_lo)] = lo_h
-                    host_w[1, s * slab:s * slab + (g_hi - g_lo)] = hi_h
-            words_d = jax.device_put(host_w, sharding)
-            buf = jitted(buf, words_d, shard_ids, jnp.int32(i * slab),
-                         jnp.int32(n))
+                    out[0, : g_hi - g_lo] = lo_h
+                    out[1, : g_hi - g_lo] = hi_h
+                return out
+            return jax.make_array_from_callback((2, D * slab), sharding, build)
+
+        for i in range(shard_n // slab):
+            buf = jitted(buf, words_for_slab(i), shard_ids,
+                         jnp.int32(i * slab), jnp.int32(n))
         return buf
 
     def _make_global(self, arr: np.ndarray, spec):
