@@ -152,7 +152,33 @@ def codes_onehot_jnp(codes, L: int):
     return oh.reshape(4 * L, -1).astype(jnp.bfloat16)
 
 
-def _packed_nonzero(mask, size: int):
+def _searchsorted_monotone(cum, q, window: int = 128):
+    """Left insertion points of q into nondecreasing cum, as a two-level
+    DIRECT search: count supertiles wholly below each query (one dense
+    (k, ns) compare-sum), gather the one straddling window per query, rank
+    inside it (one (k, W) compare-sum). Replaces jnp.searchsorted, whose
+    log2(nt) rounds of random gathers scale with QUERY COUNT — at the
+    fused scan's 65536 triplet queries it cost 7.3 ms/chunk (measured v5e,
+    round 5 ablation: tools/ab_flat.py) vs ~0.7 ms for this formulation.
+    Exact for any nondecreasing cum (ties -> leftmost, as 'left' does)."""
+    import jax.numpy as jnp
+    nt = cum.shape[0]
+    if nt % window:
+        pad = window - nt % window
+        cum = jnp.concatenate(
+            [cum, jnp.full((pad,), jnp.iinfo(cum.dtype).max, cum.dtype)])
+        nt = cum.shape[0]
+    ns = nt // window
+    cum2 = cum.reshape(ns, window)
+    super_last = cum2[:, -1]                                   # (ns,)
+    s = (super_last[None, :] < q[:, None]).sum(axis=1)         # (k,)
+    s = jnp.minimum(s, ns - 1)
+    win = cum2[s]                                              # (k, W) gather
+    pos = (win < q[:, None]).sum(axis=1)
+    return s * window + pos
+
+
+def _packed_nonzero(mask, size: int, tile: int = 512):
     """Indices of the first `size` set bits of a 1-D bool array, packed.
 
     Equivalent to jnp.nonzero(mask, size=size) but without the n-element
@@ -176,10 +202,16 @@ def _packed_nonzero(mask, size: int):
     path for every regular shape.
     Returns (idx int32[size] — entries beyond the true count clamp to n-1,
     count int32). Indices ascend; ties with the flat formulation are exact
-    (tests/test_scan_jax.py::test_packed_nonzero_*)."""
+    (tests/test_scan_jax.py::test_packed_nonzero_*).
+
+    tile: the ranking-gather row width. 512 suits few queries over a big
+    mask (stage-1 column compaction: size=8k over 8M). For MANY queries
+    (stage-2 triplet compaction, size=64k) the (size, tile) gather
+    dominates — tile=128 moves 4x less (measured v5e, round 5: the fused
+    mm=4 scan dropped 0.97 -> 0.70 s/scan at settled caps)."""
     import jax.numpy as jnp
     n_el = mask.shape[0]
-    T = 512
+    T = tile
     if n_el % T or n_el <= 2 * T:
         cnt = jnp.cumsum(mask.astype(jnp.int32))
         idx = jnp.searchsorted(cnt, jnp.arange(1, size + 1, dtype=jnp.int32),
@@ -191,7 +223,7 @@ def _packed_nonzero(mask, size: int):
     tile_cum = jnp.cumsum(tcnt)                               # (nt,)
     n = tile_cum[-1]
     q = jnp.arange(1, size + 1, dtype=jnp.int32)              # k-th hit, 1-based
-    qt = jnp.searchsorted(tile_cum, q, side="left")           # its tile (first
+    qt = _searchsorted_monotone(tile_cum, q)                  # its tile (first
     qt = jnp.minimum(qt, nt - 1)                              #  cum >= k has tcnt>0)
     r = q - (tile_cum[qt] - tcnt[qt])                         # rank within tile
     rows = m2[qt].astype(jnp.int32)                           # (size, T) gather
@@ -203,7 +235,8 @@ def _packed_nonzero(mask, size: int):
 
 def make_fused_scan(L: int, n_act: int, max_mm: int, chunk: int, g_rows: int,
                     n_chunks: int, col_cap: int, trip_cap: int,
-                    use_pallas: bool):
+                    use_pallas: bool, stage2_int8: bool = True,
+                    trip_tile: int = 128):
     """Whole-database scan in ONE device dispatch (untraced; see
     _fused_scan_jit for the jitted single-device form and
     parallel.mesh.ShardedScanner for the shard_map multi-chip form).
@@ -249,10 +282,13 @@ def make_fused_scan(L: int, n_act: int, max_mm: int, chunk: int, g_rows: int,
 
     if use_pallas:
         from .scan_kernel import stage1_pallas
-        inner = stage1_pallas(n_act, max_mm, chunk, g_rows)
-
-        def stage1(codes_chunk, guide_i8, guide_bf):
-            return inner(codes_chunk, guide_i8)
+        # ONE pallas call whose grid spans EVERY chunk: each per-chunk
+        # dynamic_slice feeding a separate call materialized a 268 MB
+        # HBM->HBM copy (~5 ms/chunk, measured v5e round-5 ablation,
+        # tools/ab_body.py — stage1 inside the loop cost 13.5 ms vs 8.4 ms
+        # isolated); the single-call grid DMAs tiles straight from the
+        # resident array and the loop slices only the 1 B/target hit bytes.
+        inner_all = stage1_pallas(n_act, max_mm, n_chunks * chunk, g_rows)
     else:
         def stage1(codes_chunk, guide_i8, guide_bf):
             t_oh = codes_onehot_jnp(codes_chunk, L)
@@ -279,30 +315,55 @@ def make_fused_scan(L: int, n_act: int, max_mm: int, chunk: int, g_rows: int,
         guide_bf_T = guide_bf.T                                    # (4L, G)
         guide_i8 = guide_block_layout(guide_oh, L)                 # (G, 128)
 
+        if use_pallas:
+            hits_all = inner_all(codes_full, guide_i8)             # (N,) bool
+
         def body(c, carry):
             count, col_of, trip_of, buf = carry
             start = c * chunk
-            codes_chunk = jax.lax.dynamic_slice_in_dim(codes_full, start,
-                                                       chunk, axis=1)
             # padding columns hold PAD_CODE (all-zero one-hot) so they can
             # never hit: no (idx < n_targets) mask pass is needed
-            hit = stage1(codes_chunk, guide_i8, guide_bf)          # (chunk,)
+            if use_pallas:
+                hit = jax.lax.dynamic_slice_in_dim(hits_all, start, chunk)
+            else:
+                codes_chunk = jax.lax.dynamic_slice_in_dim(
+                    codes_full, start, chunk, axis=1)
+                hit = stage1(codes_chunk, guide_i8, guide_bf)      # (chunk,)
             cols, n_cols = _packed_nonzero(hit, col_cap)
-            # exact mismatch counts for the hit columns, computed in the
-            # (cap, G) orientation directly: transposing the small (32, cap)
-            # int8 code selection instead of a (G, cap) int32 matches matrix
+            gcols = start + cols                                   # global idx
+            # exact mismatch counts for the hit columns, gathered straight
+            # from the FULL resident array (no chunk slab copy) in the
+            # (cap, G) orientation: transposing the small (32, cap) int8
+            # code selection instead of a (G, cap) int32 matches matrix
             # moves ~128x less data (268 MB/chunk at mm=5-escalated caps)
-            selT = codes_chunk[:, cols].T[:, :L]                   # (cap, L)
-            t_ohT = (selT[:, :, None] ==
-                     jnp.arange(4, dtype=selT.dtype)).reshape(col_cap, 4 * L)
-            matches = jax.lax.dot(t_ohT.astype(jnp.bfloat16), guide_bf_T,
-                                  preferred_element_type=jnp.float32)
+            selT = codes_full[:, gcols].T                          # (cap, 32)
+            if stage2_int8:
+                # int8 MXU recount in the SAME block layout as stage 1
+                # (column b*32+i, guide_block_layout): the one-hot is four
+                # int32 compares over the gathered selection and the matmul
+                # runs at the v5e's 2x int8 rate against guide_i8 directly —
+                # no bf16 guide transpose, exact int32 counts (products are
+                # 0/1, sums <= 24)
+                sel32 = selT.astype(jnp.int32)                     # (cap, 32)
+                t_ohT = jnp.concatenate(
+                    [(sel32 == b).astype(jnp.int8) for b in range(4)],
+                    axis=1)                                        # (cap, 128)
+                matches = jax.lax.dot(t_ohT, guide_i8.T,
+                                      preferred_element_type=jnp.int32)
+                mmT = jnp.minimum(
+                    n_active[None, :].astype(jnp.int32) - matches, _PAD_MM)
+            else:
+                t_ohT = (selT[:, :L, None] ==
+                         jnp.arange(4, dtype=selT.dtype)).reshape(col_cap, 4 * L)
+                matches = jax.lax.dot(t_ohT.astype(jnp.bfloat16), guide_bf_T,
+                                      preferred_element_type=jnp.float32)
+                mmT = jnp.minimum(n_active[None, :] - matches, _PAD_MM)
             col_ok = jnp.arange(col_cap) < n_cols
-            mmT = jnp.minimum(n_active[None, :] - matches, _PAD_MM)  # (cap, G)
-            hits2d = (mmT <= max_mm) & col_ok[:, None]
-            flat, k = _packed_nonzero(hits2d.reshape(-1), block_cap)
+            hits2d = (mmT <= max_mm) & col_ok[:, None]             # (cap, G)
+            flat, k = _packed_nonzero(hits2d.reshape(-1), block_cap,
+                                      tile=trip_tile)
             g_idx = (flat % g_rows).astype(jnp.int32)
-            t_idx = (start + cols[flat // g_rows]).astype(jnp.int32)
+            t_idx = gcols[flat // g_rows].astype(jnp.int32)
             mm_v = mmT.reshape(-1)[flat].astype(jnp.int32)
             block = jnp.stack([t_idx, (g_idx << 8) | mm_v])        # (2, block_cap)
             safe = jnp.minimum(count, trip_cap)
@@ -326,10 +387,12 @@ def make_fused_scan(L: int, n_act: int, max_mm: int, chunk: int, g_rows: int,
 @functools.lru_cache(maxsize=16)
 def _fused_scan_jit(L: int, n_act: int, max_mm: int, chunk: int, g_rows: int,
                     n_chunks: int, col_cap: int, trip_cap: int,
-                    use_pallas: bool):
+                    use_pallas: bool, stage2_int8: bool = True,
+                    trip_tile: int = 128):
     import jax
     return jax.jit(make_fused_scan(L, n_act, max_mm, chunk, g_rows, n_chunks,
-                                   col_cap, trip_cap, use_pallas))
+                                   col_cap, trip_cap, use_pallas,
+                                   stage2_int8, trip_tile))
 
 
 def parse_trip_buffer(buf: np.ndarray):
@@ -343,6 +406,12 @@ def parse_trip_buffer(buf: np.ndarray):
     return (buf[0, :n].astype(np.int64), (packed >> 8).astype(np.int64),
             (packed & 0xFF).astype(np.int8), count, overflow)
 
+
+# stage-2 recount configuration (module globals read at dispatch time so
+# benchmarks can A/B them; env-overridable for field debugging)
+import os as _os
+STAGE2_INT8 = _os.environ.get("FLASHFRY_TPU_STAGE2", "int8") != "bf16"
+TRIP_TILE = int(_os.environ.get("FLASHFRY_TPU_TRIP_TILE", "128"))
 
 DEFAULT_CHUNK = 1 << 23
 DEFAULT_CAP = 1 << 12   # max stage-1 hit targets per chunk
@@ -635,7 +704,8 @@ class DeviceScanner:
             stats.dense_comparisons += self.n * G
         fused = _fused_scan_jit(self.L, self.n_act, max_mismatch,
                                 self.chunk, guide_oh.shape[0], n_chunks,
-                                caps[0], caps[1], self.use_pallas)
+                                caps[0], caps[1], self.use_pallas,
+                                STAGE2_INT8, TRIP_TILE)
         buf_d = fused(codes, jax.device_put(guide_oh), jax.device_put(n_active))
         return buf_d, caps[0], caps[1]
 

@@ -257,6 +257,9 @@ class ShardedScanner:
         """Jitted multi-chip scan step, memoized per shape/cap tuple so
         repeat guide blocks reuse one traced executable (the single-device
         path memoizes the same way via ops.scan._fused_scan_jit)."""
+        # STAGE2_INT8 / TRIP_TILE are process-constant config knobs: they
+        # are snapshot at first build and deliberately NOT part of the key
+        from ..ops import scan as _scan
         key = (max_mismatch, g_rows, col_cap, trip_cap)
         cached = self._step_cache.get(key)
         if cached is not None:
@@ -269,7 +272,8 @@ class ShardedScanner:
 
         local = make_fused_scan(self.L, self.n_act, max_mismatch, self.chunk,
                                 g_rows // self.Gx, self.shard_n // self.chunk,
-                                col_cap, trip_cap, self.use_pallas)
+                                col_cap, trip_cap, self.use_pallas,
+                                _scan.STAGE2_INT8, _scan.TRIP_TILE)
 
         def wrapped(codes_local, guide_oh_local, n_active_local):
             # this shard owns global targets [s*shard_n, (s+1)*shard_n);
