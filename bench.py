@@ -152,9 +152,12 @@ def get_database(genome_mb: int):
     rng = np.random.default_rng(2024)
     genome = synthesize_genome(genome_mb, rng)
     base_map = np.frombuffer(b"ACGT", dtype=np.uint8)
-    genome_str = bytes(base_map[genome]).decode("ascii")
+    # bytes, not str: find_target_sites accepts bytes-like contigs, so the
+    # 3 GB genome never round-trips through a Python str (saves ~35 s of
+    # encode/decode copies at hg38 scale)
+    genome_bytes = base_map[genome].tobytes()
     t0 = time.time()
-    sites = find_target_sites(iter([("benchChr", genome_str)]), Cas9NGGParameterPack)
+    sites = find_target_sites(iter([("benchChr", genome_bytes)]), Cas9NGGParameterPack)
     t_scan = time.time() - t0
     log("site scan: %.1fs, %d sites" % (t_scan, len(sites)))
     t0 = time.time()
@@ -466,6 +469,51 @@ def library_row(db, scanner, genome_mb, detail, platform):
                                         md5)
     phases = [v for k, v in d.items() if k.endswith("_s")]
     d["total_s"] = round(sum(phases), 2)
+
+    # ---- full 11-metric sweep (VERDICT r4 #8) ------------------------------
+    # the remaining registered models (ScoreResults.scala:159-226), timed at
+    # library scale on top of the 5 core metrics above. The 5-metric scored
+    # file keeps its round-over-round md5 pin; the full-11 output pins its
+    # own md5. doench2014ontarget/moreno2015 emit NA here (TSV input carries
+    # no sequence context), exactly as the reference does on the same input.
+    bed_path = os.path.join(CACHE, "library_annotation_%s.bed" % DB_VERSION)
+    if not os.path.exists(bed_path):
+        brng = np.random.default_rng(5)
+        span = genome_mb * 1_000_000
+        starts = np.sort(brng.integers(0, span, size=50_000))
+        widths = brng.integers(100, 5_000, size=50_000)
+        with open(bed_path, "w") as fh:
+            for j in range(50_000):
+                fh.write("benchChr\t%d\t%d\tI%d\n"
+                         % (starts[j], starts[j] + widths[j], j))
+    models_full = list(models)
+    for name in ("doench2014ontarget", "moreno2015", "bedannotator",
+                 "reciprocalofftargets", "folding", "rank"):
+        m = get_registered_scoring_metric(
+            name, bit_enc, "bench:" + bed_path, db.pack, -1, "", False,
+            False, 1)
+        m.bit_encoder(bit_enc)
+        m.setup()
+        m.attach_ot_scores = False
+        if m.is_aggregate:
+            m.initialize_score_names(
+                [x for x in models_full if x.high_score_is_good is not None])
+        t0 = time.time()
+        m.score_guides(sguides, bit_enc, pos_enc, db.pack)
+        d["score_%s_s" % name] = round(time.time() - t0, 2)
+        models_full.append(m)
+    scored11 = os.path.join(CACHE, "library_%s.scored11" % DB_VERSION)
+    t0 = time.time()
+    write_output(scored11, sguides, bit_enc, pos_enc, models_full,
+                 write_ots=False, write_positions=True)
+    d["write_scored11_s"] = round(time.time() - t0, 2)
+    md5_11 = hashlib.md5(open(scored11, "rb").read()).hexdigest()
+    d["scored11_md5"] = md5_11
+    d["scored11_md5_pin"] = assert_pinned(
+        genome_mb, "lib%d_full11_md5" % LIB_GUIDES, md5_11)
+    d["total_full11_s"] = round(
+        sum(v for k, v in d.items() if k.endswith("_s")
+            and k != "total_s"), 2)
     detail["library"] = d
     log("library row:", json.dumps(d))
 
@@ -683,9 +731,16 @@ def main():
         detail["index_site_scan_s"] = meta.get("site_scan_s")
         detail["index_db_build_s"] = meta.get("db_build_s")
         if genome_mb >= 3000:
-            detail["index_speedup_vs_flashfry"] = round(
+            # the reference ships no measured hg38 index time
+            # (paper/timing_data has no index rows); the baseline here is a
+            # LINEAR EXTRAPOLATION of the chr22 quickstart line
+            # (README.md:43, 75 s for ~50 Mbp) and the key says so
+            detail["index_speedup_vs_extrapolated_flashfry"] = round(
                 FLASHFRY_HG38_INDEX_S /
                 (meta["site_scan_s"] + meta["db_build_s"]), 1)
+            detail["index_baseline_note"] = (
+                "baseline extrapolated from chr22 README line; "
+                "no measured reference hg38 index time exists")
 
     detail["flashfry_1000g_mm4_hg38_seconds"] = FLASHFRY_HG38_DISCOVER_S[4]
     detail["flashfry_1000g_mm5_hg38_seconds"] = FLASHFRY_HG38_DISCOVER_S[5]

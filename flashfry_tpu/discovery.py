@@ -275,33 +275,42 @@ def _find_target_sites_fused(contigs, pack: ParameterPack,
 def _find_target_sites_percontig(fasta_iter, pack: ParameterPack,
                                  flanking_sequence: int = 0,
                                  capture_context: bool = False) -> DiscoveredSites:
+    """Per-contig scan + SINGLE-WRITE columnar assembly.
+
+    The round-4 version built per-strand intermediates (np.full contig ids,
+    .astype position copies) and finished with concatenate().astype() —
+    at hg38 scale that was ~10 s of pure copies per 300 Mbp (cProfile,
+    round-5). Each output column is now written exactly once into a
+    preallocated array; contig ids are run-length expanded at the end.
+
+    Contigs may be str OR bytes-like (ASCII): the index phase passes raw
+    bytes so the 3 GB genome never round-trips through a Python str."""
     L = pack.total_scan_length
     bitpos = BitPosition()
+    count_one = np.uint64(1) << np.uint64(48)
 
-    all_contig_ids: List[np.ndarray] = []
-    all_positions: List[np.ndarray] = []
-    all_forward: List[np.ndarray] = []
-    all_longs: List[np.ndarray] = []
+    longs_parts: List[np.ndarray] = []
+    pos_parts: List[np.ndarray] = []
+    runs: List[Tuple[int, int, int]] = []  # (cid, n_fwd, n_rev) per contig
     contexts: List[Optional[str]] = []
     bases_accum: List[str] = []
 
     for name, seq in fasta_iter:
         bitpos.add_reference(name)
         cid = bitpos.contig_map[name]
-        raw = np.frombuffer(seq.encode("ascii"), dtype=np.uint8)
+        if isinstance(seq, (bytes, bytearray, memoryview)):
+            raw = np.frombuffer(seq, dtype=np.uint8)
+        else:
+            raw = np.frombuffer(seq.encode("ascii"), dtype=np.uint8)
         codes = _BASE_LUT[raw]
         fwd_starts, rev_starts = scan_contig(codes, pack)
 
-        n_f, n_r = fwd_starts.size, rev_starts.size
-        count_one = np.uint64(1) << np.uint64(48)
         # pack straight from offsets (reverse strand as reverse complement)
-        all_longs.append(_pack_from_starts(codes, fwd_starts, L, False) | count_one)
-        all_longs.append(_pack_from_starts(codes, rev_starts, L, True) | count_one)
-        all_positions.append(fwd_starts.astype(np.int64))
-        all_positions.append(rev_starts.astype(np.int64))
-        all_forward.append(np.ones(n_f, dtype=bool))
-        all_forward.append(np.zeros(n_r, dtype=bool))
-        all_contig_ids.append(np.full(n_f + n_r, cid, dtype=np.int64))
+        longs_parts.append(_pack_from_starts(codes, fwd_starts, L, False))
+        longs_parts.append(_pack_from_starts(codes, rev_starts, L, True))
+        pos_parts.append(np.asarray(fwd_starts, dtype=np.int64))
+        pos_parts.append(np.asarray(rev_starts, dtype=np.int64))
+        runs.append((cid, int(fwd_starts.size), int(rev_starts.size)))
 
         if capture_context:
             fwd_windows = _extract_windows(codes, fwd_starts.astype(np.int64), L)
@@ -310,26 +319,42 @@ def _find_target_sites_percontig(fasta_iter, pack: ParameterPack,
             bases_accum.extend(codes_to_strings(fwd_windows))
             bases_accum.extend(codes_to_strings(rev_windows))
             full = L + 2 * flanking_sequence
-            for start in fwd_starts:
-                lo = max(0, int(start) - flanking_sequence)
-                ctx = seq[lo: int(start) + L + flanking_sequence]
-                contexts.append(ctx if len(ctx) == full else None)
             from .utils import reverse_comp_string
-            for start in rev_starts:
+
+            def ctx_str(start):
                 lo = max(0, int(start) - flanking_sequence)
                 ctx = seq[lo: int(start) + L + flanking_sequence]
-                contexts.append(reverse_comp_string(ctx) if len(ctx) == full else None)
+                if isinstance(ctx, (bytes, bytearray, memoryview)):
+                    ctx = bytes(ctx).decode("ascii")
+                return ctx if len(ctx) == full else None
 
-    def cat(parts, dtype):
-        return (np.concatenate(parts) if parts else np.zeros(0, dtype=dtype)).astype(dtype)
+            for start in fwd_starts:
+                contexts.append(ctx_str(start))
+            for start in rev_starts:
+                ctx = ctx_str(start)
+                contexts.append(None if ctx is None else reverse_comp_string(ctx))
+
+    total = sum(p.shape[0] for p in pos_parts)
+    sequences = np.empty(total, dtype=np.uint64)
+    positions = np.empty(total, dtype=np.int64)
+    forward = np.empty(total, dtype=bool)
+    contig_ids = np.empty(total, dtype=np.int64)
+    o = 0
+    for i, (cid, n_f, n_r) in enumerate(runs):
+        for j, n_s in ((2 * i, n_f), (2 * i + 1, n_r)):
+            np.bitwise_or(longs_parts[j], count_one, out=sequences[o:o + n_s])
+            positions[o:o + n_s] = pos_parts[j]
+            forward[o:o + n_s] = (j % 2 == 0)
+            contig_ids[o:o + n_s] = cid
+            o += n_s
 
     return DiscoveredSites(
         pack=pack,
         bit_position=bitpos,
-        contig_ids=cat(all_contig_ids, np.int64),
-        positions=cat(all_positions, np.int64),
-        forward=cat(all_forward, bool),
-        sequences=cat(all_longs, np.uint64),
+        contig_ids=contig_ids,
+        positions=positions,
+        forward=forward,
+        sequences=sequences,
         contexts=contexts if capture_context else None,
         bases_list=bases_accum if capture_context else None,
     )

@@ -145,7 +145,10 @@ def scan_sites(codes: np.ndarray, patterns: Sequence[str], L: int) -> Optional[n
             _ptr(starts, ctypes.c_int32), _ptr(offsets, ctypes.c_int32),
             _ptr(bases, ctypes.c_uint8), _ptr(out, ctypes.c_int64), cap)
         if got >= 0:
-            return out[:got].copy()
+            # in-place shrink (np.empty never touched the tail pages, and
+            # the old out[:got].copy() rewrote ~150 MB per hg38 contig scan)
+            out.resize((got,), refcheck=False)
+            return out
         cap = max(cap * 2, n + 1)  # n+1 windows is a hard upper bound
 
 
@@ -193,8 +196,12 @@ def build_index(seqs: np.ndarray, bins: np.ndarray, contig_ids: np.ndarray,
         _ptr(pos_offsets_out, ctypes.c_int64), _ptr(bin_start_out, ctypes.c_int64),
         _ptr(n_pos, ctypes.c_int64))
     np_kept = int(n_pos[0])
-    return (targets_out[:nt].copy(), positions_out[:np_kept].copy(),
-            pos_offsets_out[:nt + 1].copy(), bin_start_out)
+    # in-place shrink: the old [:k].copy() trims rewrote ~9 GB at hg38
+    # scale (targets + positions + offsets); resize frees the tails instead
+    targets_out.resize((nt,), refcheck=False)
+    positions_out.resize((np_kept,), refcheck=False)
+    pos_offsets_out.resize((nt + 1,), refcheck=False)
+    return (targets_out, positions_out, pos_offsets_out, bin_start_out)
 
 
 def _contig_table(names: Sequence[str]) -> Tuple[bytes, np.ndarray]:

@@ -77,10 +77,15 @@ class MultiHostScanner(ShardedScanner):
         return jax.make_array_from_callback(arr.shape, sharding,
                                             lambda idx: arr[idx])
 
+    dcn_allgather_bytes = 0   # cumulative payload gathered across hosts
+    dcn_allgather_calls = 0   # one per fetched slice (header / body)
+
     def _fetch(self, out) -> np.ndarray:
         """Allgather the (D, Gx, 2, width) buffers: each process contributes
         its local db rows; db-axis is process-major so a reshape restores
-        global order."""
+        global order. Accumulates DCN byte counters (the basis of the
+        2-host scaling model in README.md — the ONLY cross-host traffic on
+        the db axis is these compact triplet slices)."""
         from jax.experimental import multihost_utils
         import jax
         n_proc = jax.process_count()
@@ -90,6 +95,8 @@ class MultiHostScanner(ShardedScanner):
         local = np.stack([
             self._rows_for(out, r) for r in local_rows])    # (D_local, Gx, 2, w)
         gathered = multihost_utils.process_allgather(local)  # (n_proc, D_local, ...)
+        self.dcn_allgather_bytes += int(gathered.nbytes)
+        self.dcn_allgather_calls += 1
         return gathered.reshape(self.D, self.Gx, *local.shape[2:])
 
     @staticmethod
@@ -127,6 +134,14 @@ def run_worker(coordinator_address: str, num_processes: int, process_id: int,
     else:
         hits = np.zeros((0, 3), dtype=np.int64)
     import jax
+    import logging
+    logging.getLogger(__name__).info(
+        "DCN allgather: %d bytes over %d calls (%d hit rows)",
+        scanner.dcn_allgather_bytes, scanner.dcn_allgather_calls,
+        hits.shape[0])
+    print("DCN_ALLGATHER bytes=%d calls=%d hits=%d"
+          % (scanner.dcn_allgather_bytes, scanner.dcn_allgather_calls,
+             hits.shape[0]), flush=True)
     if out_path and jax.process_index() == 0:
         np.savez(out_path, hits=hits)
     return hits

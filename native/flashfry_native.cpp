@@ -12,6 +12,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <memory>
 #include <string>
 #include <unordered_map>
 #include <vector>
@@ -171,7 +172,10 @@ int64_t ff_build_index(const uint64_t* seqs, const int64_t* bins,
                        int64_t* pos_offsets_out, int64_t* bin_start_out,
                        int64_t* n_positions_out) {
     struct KeyIdx { uint64_t key; int64_t idx; };
-    std::vector<KeyIdx> v(n);
+    // raw new[]: POD stays uninitialized — std::vector(n) value-initializes,
+    // which memsets 6 GB at hg38 scale before the fill loop overwrites it
+    std::unique_ptr<KeyIdx[]> vbuf(new KeyIdx[n]);
+    KeyIdx* v = vbuf.get();
 #ifdef _OPENMP
 #pragma omp parallel for schedule(static) if (n > 1 << 16)
 #endif
@@ -183,9 +187,9 @@ int64_t ff_build_index(const uint64_t* seqs, const int64_t* bins,
         return a.key != b.key ? a.key < b.key : a.idx < b.idx;
     };
 #ifdef _OPENMP
-    __gnu_parallel::sort(v.begin(), v.end(), cmp);
+    __gnu_parallel::sort(v, v + n, cmp);
 #else
-    std::sort(v.begin(), v.end(), cmp);
+    std::sort(v, v + n, cmp);
 #endif
 
     std::memset(bin_start_out, 0, sizeof(int64_t) * (num_bins + 1));
