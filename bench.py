@@ -492,7 +492,8 @@ def library_row(db, scanner, genome_mb, detail, platform):
         m = get_registered_scoring_metric(
             name, bit_enc, "bench:" + bed_path, db.pack, -1, "", False,
             False, 1)
-        m.bit_encoder(bit_enc)
+        assert m.valid_over_enzyme(db.pack)  # run_score_module order: this
+        m.bit_encoder(bit_enc)               # hook also binds pack (folding)
         m.setup()
         m.attach_ot_scores = False
         if m.is_aggregate:

@@ -360,14 +360,43 @@ def make_fused_scan(L: int, n_act: int, max_mm: int, chunk: int, g_rows: int,
                 mmT = jnp.minimum(n_active[None, :] - matches, _PAD_MM)
             col_ok = jnp.arange(col_cap) < n_cols
             hits2d = (mmT <= max_mm) & col_ok[:, None]             # (cap, G)
-            flat, k = _packed_nonzero(hits2d.reshape(-1), block_cap,
-                                      tile=trip_tile)
-            g_idx = (flat % g_rows).astype(jnp.int32)
-            t_idx = gcols[flat // g_rows].astype(jnp.int32)
-            mm_v = mmT.reshape(-1)[flat].astype(jnp.int32)
-            block = jnp.stack([t_idx, (g_idx << 8) | mm_v])        # (2, block_cap)
+            mask = hits2d.reshape(-1)
+            n_el = mask.shape[0]
+            nt = n_el // trip_tile
+            m2 = mask.reshape(nt, trip_tile)
+            tcnt = m2.sum(axis=1, dtype=jnp.int32)
+            tile_cum = jnp.cumsum(tcnt)
+            k = tile_cum[-1]                                       # true count
             safe = jnp.minimum(count, trip_cap)
-            buf = jax.lax.dynamic_update_slice(buf, block, (0, safe))
+
+            def emit(size, buf):
+                # query/rank/gather/append at a given emit width; shares the
+                # tile counts computed once above
+                q = jnp.arange(1, size + 1, dtype=jnp.int32)
+                qt = jnp.minimum(_searchsorted_monotone(tile_cum, q), nt - 1)
+                r = q - (tile_cum[qt] - tcnt[qt])
+                rows = m2[qt].astype(jnp.int32)
+                lc = jnp.cumsum(rows, axis=1)
+                pos = jnp.sum(lc < r[:, None], axis=1)
+                flat = jnp.minimum(qt * trip_tile + pos, n_el - 1)
+                g_idx = (flat % g_rows).astype(jnp.int32)
+                t_idx = gcols[flat // g_rows].astype(jnp.int32)
+                mm_v = mmT.reshape(-1)[flat].astype(jnp.int32)
+                block = jnp.stack([t_idx, (g_idx << 8) | mm_v])    # (2, size)
+                return jax.lax.dynamic_update_slice(buf, block, (0, safe))
+
+            # adaptive emit width: the query/rank machinery scales with the
+            # EMIT CAP, not the hit count, and block_cap is provisioned for
+            # the worst repeat-heavy chunk (8x col_cap) while typical chunks
+            # carry a few thousand hits — an 8x narrower branch for those
+            # saves ~3 ms/chunk (measured v5e, round 5)
+            small_cap = block_cap // 8
+            if small_cap >= 1024 and small_cap < block_cap:
+                buf = jax.lax.cond(k <= small_cap,
+                                   functools.partial(emit, small_cap),
+                                   functools.partial(emit, block_cap), buf)
+            else:
+                buf = emit(block_cap, buf)
             count = count + k
             col_of = col_of | (n_cols > col_cap) | (k > block_cap)
             trip_of = trip_of | (k > block_cap) | (count > trip_cap)
