@@ -492,8 +492,12 @@ def library_row(db, scanner, genome_mb, detail, platform):
         m = get_registered_scoring_metric(
             name, bit_enc, "bench:" + bed_path, db.pack, -1, "", False,
             False, 1)
-        assert m.valid_over_enzyme(db.pack)  # run_score_module order: this
-        m.bit_encoder(bit_enc)               # hook also binds pack (folding)
+        # run_score_module call order: valid_over_enzyme also binds pack
+        # (folding) — must NOT live inside an assert (python -O strips it)
+        ok = m.valid_over_enzyme(db.pack)
+        if not ok:
+            raise RuntimeError("model %s invalid over bench enzyme" % name)
+        m.bit_encoder(bit_enc)
         m.setup()
         m.attach_ot_scores = False
         if m.is_aggregate:

@@ -205,7 +205,8 @@ def _find_target_sites_fused(contigs, pack: ParameterPack,
     for name, seq in contigs:
         bitpos.add_reference(name)
         names.append(name)
-        parts.append(seq.encode("ascii"))
+        parts.append(bytes(seq) if isinstance(seq, (bytes, bytearray, memoryview))
+                     else seq.encode("ascii"))
     lengths = np.array([len(p) for p in parts], dtype=np.int64)
     raw = np.frombuffer((b"\x00" * gap).join(parts), dtype=np.uint8)
     codes = _BASE_LUT[raw]

@@ -178,6 +178,25 @@ def _searchsorted_monotone(cum, q, window: int = 128):
     return s * window + pos
 
 
+def _tile_select(m2, tcnt, tile_cum, size: int, tile: int, n_el: int):
+    """Indices of the first `size` set bits, given precomputed per-tile
+    structure (m2 (nt, tile) mask, tcnt per-tile counts, tile_cum their
+    cumsum). Entries beyond the true count clamp to n_el - 1. Shared by
+    _packed_nonzero and the fused scan's adaptive triplet emit (which
+    computes the tile counts once and selects at two widths)."""
+    import jax.numpy as jnp
+    nt = m2.shape[0]
+    q = jnp.arange(1, size + 1, dtype=jnp.int32)      # k-th hit, 1-based
+    qt = _searchsorted_monotone(tile_cum, q)          # its tile (first
+    qt = jnp.minimum(qt, nt - 1)                      #  cum >= k has tcnt>0)
+    r = q - (tile_cum[qt] - tcnt[qt])                 # rank within tile
+    rows = m2[qt].astype(jnp.int32)                   # (size, tile) gather
+    lc = jnp.cumsum(rows, axis=1)
+    pos = jnp.sum(lc < r[:, None], axis=1)            # first lc >= r
+    idx = qt * tile + pos
+    return jnp.minimum(idx, n_el - 1).astype(jnp.int32)
+
+
 def _packed_nonzero(mask, size: int, tile: int = 512):
     """Indices of the first `size` set bits of a 1-D bool array, packed.
 
@@ -222,15 +241,7 @@ def _packed_nonzero(mask, size: int, tile: int = 512):
     tcnt = m2.sum(axis=1, dtype=jnp.int32)                    # (nt,)
     tile_cum = jnp.cumsum(tcnt)                               # (nt,)
     n = tile_cum[-1]
-    q = jnp.arange(1, size + 1, dtype=jnp.int32)              # k-th hit, 1-based
-    qt = _searchsorted_monotone(tile_cum, q)                  # its tile (first
-    qt = jnp.minimum(qt, nt - 1)                              #  cum >= k has tcnt>0)
-    r = q - (tile_cum[qt] - tcnt[qt])                         # rank within tile
-    rows = m2[qt].astype(jnp.int32)                           # (size, T) gather
-    lc = jnp.cumsum(rows, axis=1)
-    pos = jnp.sum(lc < r[:, None], axis=1)                    # first lc >= r
-    idx = qt * T + pos
-    return jnp.minimum(idx, n_el - 1).astype(jnp.int32), n
+    return _tile_select(m2, tcnt, tile_cum, size, T, n_el), n
 
 
 def make_fused_scan(L: int, n_act: int, max_mm: int, chunk: int, g_rows: int,
@@ -277,6 +288,11 @@ def make_fused_scan(L: int, n_act: int, max_mm: int, chunk: int, g_rows: int,
     """
     import jax
     import jax.numpy as jnp
+
+    if (col_cap * g_rows) % trip_tile:
+        raise ValueError(
+            "FLASHFRY_TPU_TRIP_TILE=%d must divide col_cap*g_rows=%d "
+            "(the stage-2 compaction domain)" % (trip_tile, col_cap * g_rows))
 
     thr = max(n_act - max_mm, 1)
 
@@ -370,15 +386,9 @@ def make_fused_scan(L: int, n_act: int, max_mm: int, chunk: int, g_rows: int,
             safe = jnp.minimum(count, trip_cap)
 
             def emit(size, buf):
-                # query/rank/gather/append at a given emit width; shares the
+                # select/gather/append at a given emit width; shares the
                 # tile counts computed once above
-                q = jnp.arange(1, size + 1, dtype=jnp.int32)
-                qt = jnp.minimum(_searchsorted_monotone(tile_cum, q), nt - 1)
-                r = q - (tile_cum[qt] - tcnt[qt])
-                rows = m2[qt].astype(jnp.int32)
-                lc = jnp.cumsum(rows, axis=1)
-                pos = jnp.sum(lc < r[:, None], axis=1)
-                flat = jnp.minimum(qt * trip_tile + pos, n_el - 1)
+                flat = _tile_select(m2, tcnt, tile_cum, size, trip_tile, n_el)
                 g_idx = (flat % g_rows).astype(jnp.int32)
                 t_idx = gcols[flat // g_rows].astype(jnp.int32)
                 mm_v = mmT.reshape(-1)[flat].astype(jnp.int32)

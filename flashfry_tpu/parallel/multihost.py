@@ -139,9 +139,11 @@ def run_worker(coordinator_address: str, num_processes: int, process_id: int,
         "DCN allgather: %d bytes over %d calls (%d hit rows)",
         scanner.dcn_allgather_bytes, scanner.dcn_allgather_calls,
         hits.shape[0])
-    print("DCN_ALLGATHER bytes=%d calls=%d hits=%d"
-          % (scanner.dcn_allgather_bytes, scanner.dcn_allgather_calls,
-             hits.shape[0]), flush=True)
+    if os.environ.get("FLASHFRY_TPU_DCN_LOG"):
+        # machine-parseable line for tools/multihost_model.py only
+        print("DCN_ALLGATHER bytes=%d calls=%d hits=%d"
+              % (scanner.dcn_allgather_bytes, scanner.dcn_allgather_calls,
+                 hits.shape[0]), flush=True)
     if out_path and jax.process_index() == 0:
         np.savez(out_path, hits=hits)
     return hits

@@ -296,7 +296,9 @@ def get_batch(flat: np.ndarray, gi: np.ndarray, glongs: np.ndarray, L: int,
     h.update(flat)
     h.update(np.ascontiguousarray(gi, dtype=np.int64))
     key = (n, int(L), h.hexdigest(),
-           np.asarray(glongs, np.uint64).tobytes(), backend())
+           np.asarray(glongs, np.uint64).tobytes(),
+           np.asarray(act_pos, np.int64).tobytes(),  # enzyme active set
+           backend())
     if _memo_key == key and _memo_batch is not None:
         return _memo_batch
     _memo_key = key

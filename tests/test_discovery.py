@@ -238,3 +238,25 @@ def test_scan_stats_targets_and_positions():
     discover(db, gsites, max_mismatch=4, backend="numpy", stats=stats)
     assert stats.all_targets_and_positions == int(db.pos_offsets[-1])
     assert stats.all_targets == db.num_targets
+
+
+def test_fused_path_accepts_bytes_contigs():
+    """bytes-like contigs must work on BOTH dispatch paths: the per-contig
+    path (index phase) and the fused many-record path (>=64 contigs —
+    round-5 review finding: only the per-contig path handled bytes)."""
+    import numpy as np
+    from flashfry_tpu.discovery import find_target_sites
+    from flashfry_tpu.standards import Cas9NGGParameterPack
+
+    rng = np.random.default_rng(9)
+    contigs_str = [("c%d" % i,
+                    "".join("ACGT"[c] for c in rng.integers(0, 4, size=60)))
+                   for i in range(80)]  # >= FUSED_SCAN_MIN_CONTIGS
+    contigs_bytes = [(n, s.encode("ascii")) for n, s in contigs_str]
+    a = find_target_sites(iter(contigs_str), Cas9NGGParameterPack)
+    b = find_target_sites(iter(contigs_bytes), Cas9NGGParameterPack)
+    assert len(a) > 0
+    assert np.array_equal(a.sequences, b.sequences)
+    assert np.array_equal(a.positions, b.positions)
+    assert np.array_equal(a.forward, b.forward)
+    assert np.array_equal(a.contig_ids, b.contig_ids)

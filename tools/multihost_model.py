@@ -59,6 +59,7 @@ def measure_dcn_bytes(n_bases=2_000_000, n_guides=1024, max_mm=4):
     env["PYTHONPATH"] = ROOT
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["FLASHFRY_TPU_DCN_LOG"] = "1"
     env.pop("PALLAS_AXON_POOL_IPS", None)
     port = free_port()
     procs = [
