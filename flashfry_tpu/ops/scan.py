@@ -657,9 +657,14 @@ class DeviceScanner:
         # stage-1 columns per chunk, the column cap escalates to match, and
         # stage-2 compaction cost scales with G x col_cap — so bigger
         # blocks pay ~4x stage-2 per block (2x per guide), swamping the
-        # dispatch/fetch amortization. 1024 stays the sweet spot.
+        # dispatch/fetch amortization. RE-MEASURED round 5 after the
+        # stage-2/compaction rework (tools/ab_block.py): 2048 is now only
+        # ~2% off 1024 per guide (no longer catastrophic, still no win —
+        # stage 1 dominates and is G-linear). 1024 stays the default;
+        # FLASHFRY_TPU_MAX_BLOCK exists for re-probing on other workloads.
+        max_block = int(_os.environ.get("FLASHFRY_TPU_MAX_BLOCK", "1024"))
         block = 128
-        while block < n_guides and block < 1024:
+        while block < n_guides and block < max_block:
             block *= 2
         blocks = interleaved_blocks(n_guides, block)
         key = int(max_mismatch)
