@@ -232,7 +232,8 @@ def presize_caps(scanner, genome_mb, detail):
     in-flight fetch buffer. The caps actually used are recorded in the
     bench detail."""
     block = 128
-    while block < N_GUIDES and block < 1024:
+    max_block = int(os.environ.get("FLASHFRY_TPU_MAX_BLOCK", "2048"))
+    while block < N_GUIDES and block < max_block:  # mirrors DeviceScanner
         block *= 2
     n_blocks = max(1, -(-N_GUIDES // block))
     for mm in (3, 4, 5):
@@ -371,10 +372,11 @@ def library_row(db, scanner, genome_mb, detail, platform):
     t0 = time.time()
     guides = discover(db, gsites, max_mismatch=4, maximum_off_targets=2000,
                       backend="auto", stats=stats, scanner=scanner)
-    if not os.path.exists(caps_pin):
-        with open(caps_pin, "w") as fh:
-            json.dump({"v": list(scanner._caps.get(
-                4, (scanner._cap0, scanner._trip0)))}, fh)
+    # always record the settled caps: block-size/config changes can move
+    # them, and a stale pin costs one escalation retry chain per run
+    with open(caps_pin, "w") as fh:
+        json.dump({"v": list(scanner._caps.get(
+            4, (scanner._cap0, scanner._trip0)))}, fh)
     d["scan_collect_s"] = round(time.time() - t0, 2)
     d["collect_host_seconds"] = round(stats.collect_seconds, 2)
     d["pruned_counter_seconds"] = round(stats.counter_seconds, 2)

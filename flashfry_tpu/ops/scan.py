@@ -650,19 +650,17 @@ class DeviceScanner:
         import jax
         g_all = np.asarray(guide_longs, dtype=np.uint64)
         n_guides = g_all.shape[0]
-        # NEGATIVE RESULT (measured v5e, round 4): raising the max block to
-        # 2048 looked 25% faster in an isolated 8192-guide probe with caps
-        # pinned, but on the full 100k-guide library it was 2.5x SLOWER
-        # (66 s -> 167 s): twice the guides per block light up ~twice the
-        # stage-1 columns per chunk, the column cap escalates to match, and
-        # stage-2 compaction cost scales with G x col_cap — so bigger
-        # blocks pay ~4x stage-2 per block (2x per guide), swamping the
-        # dispatch/fetch amortization. RE-MEASURED round 5 after the
-        # stage-2/compaction rework (tools/ab_block.py): 2048 is now only
-        # ~2% off 1024 per guide (no longer catastrophic, still no win —
-        # stage 1 dominates and is G-linear). 1024 stays the default;
-        # FLASHFRY_TPU_MAX_BLOCK exists for re-probing on other workloads.
-        max_block = int(_os.environ.get("FLASHFRY_TPU_MAX_BLOCK", "1024"))
+        # Block-size history (measured v5e): in round 4, 2048-guide blocks
+        # were 2.5x SLOWER at library scale — stage-2 compaction then
+        # scaled with G x col_cap and the column cap escalated to match.
+        # RE-MEASURED round 5 after the compaction rework (tools/
+        # ab_block.py): 2048 is now 13-17% FASTER (100k guides steady-
+        # state: 40.8 -> 35.6 s; 8192 guides: 3.25 -> 2.71 s) with caps
+        # UNESCALATED and identical hit sets — halving the per-chunk fixed
+        # costs (column search, gathers, emit) now outweighs the larger
+        # stage-2 domain. 2048 is the default; FLASHFRY_TPU_MAX_BLOCK
+        # re-probes other workloads.
+        max_block = int(_os.environ.get("FLASHFRY_TPU_MAX_BLOCK", "2048"))
         block = 128
         while block < n_guides and block < max_block:
             block *= 2

@@ -317,8 +317,12 @@ class ShardedScanner:
         from ..ops.scan import interleaved_blocks
         g_all = np.asarray(guide_longs, dtype=np.uint64)
         n_guides = g_all.shape[0]
+        import os as _os
+        # same per-device max block as DeviceScanner (2048 measured faster
+        # post-rework; see ops/scan.py block-size history)
+        max_block = int(_os.environ.get("FLASHFRY_TPU_MAX_BLOCK", "2048"))
         block = 128 * self.Gx
-        while block < n_guides and block < 1024 * self.Gx:
+        while block < n_guides and block < max_block * self.Gx:
             block *= 2
         # round-robin dealing: sorted hot guide clusters (repeat families)
         # spread across blocks instead of exploding one block's caps

@@ -124,8 +124,8 @@ def test_sharded_scan_pipelines_guide_blocks():
     rng = np.random.default_rng(5)
     scanner = ShardedScanner(db, mesh=make_mesh(8), use_pallas=False,
                              chunk=1 << 12)
-    # blocks grow up to 1024*Gx=2048 guides; 2500 guides -> 2 blocks
-    n_g = 2500
+    # blocks grow up to 2048*Gx=4096 guides; 5000 guides -> 2 blocks
+    n_g = 5000
     guides = db.targets[rng.choice(db.num_targets, size=n_g, replace=True)]
     scanner._events = []
     got = [(int(t), int(g), int(m))
