@@ -579,18 +579,22 @@ def _parse_guides_bytes(buf: bytes, body_start: int, annotations: List[str],
     count_col = (SET_COLUMN_COUNT - 1) + n_ann
     guides: List[GuideWithOffTargets] = []
     caps = np.empty(n, dtype=np.int64)
+    ok_b = TARGET_OK.encode("ascii")       # hoisted: the per-row encodes
+    fwd_b = FORWARD.encode("ascii")        # alone cost ~0.3 s at 100k rows
+    longs_l = longs.tolist()
     for i in range(n):
         context = field(i, 4)
-        is_overflowed = field(i, 5) != TARGET_OK.encode("ascii")
+        is_overflowed = field(i, 5) != ok_b
         # overflowCount reconstruction (TabDelimitedHandler.scala:242-247)
-        caps[i] = int(field(i, count_col)) + (0 if is_overflowed else 1)
+        cap = int(field(i, count_col)) + (0 if is_overflowed else 1)
+        caps[i] = cap
         g = GuideWithOffTargets(
             contig=field(i, 0).decode("ascii"), start=int(field(i, 1)),
             bases=targets[i],
-            forward_strand=field(i, 6) == FORWARD.encode("ascii"),
+            forward_strand=field(i, 6) == fwd_b,
             sequence_context=(None if context == b"NONE"
                               else context.decode("ascii")),
-            long_encoding=int(longs[i]), overflow_cap=int(caps[i]),
+            long_encoding=longs_l[i], overflow_cap=cap,
             inherited_overflow=is_overflowed)
         for k, a in enumerate(annotations):
             g.named_annotations[a] = [field(i, 7 + k).decode("ascii")]
