@@ -226,13 +226,14 @@ def presize_caps(scanner, genome_mb, detail):
     is a fresh executable; compiles are persistent-cached but a cold cache
     costs minutes per shape on this 2-core host). trip_cap bounds triplets
     PER GUIDE-BLOCK dispatch (block size mirrors DeviceScanner.scan:
-    128..1024 guides), so the pinned GLOBAL count is scaled down to a
+    128..max_guide_block() guides), so the pinned GLOBAL count is scaled to a
     per-block share (x4 safety margin for skew) when the guide set spans
     multiple blocks — a global-count presize would over-provision every
     in-flight fetch buffer. The caps actually used are recorded in the
     bench detail."""
+    from flashfry_tpu.ops.scan import max_guide_block
     block = 128
-    max_block = int(os.environ.get("FLASHFRY_TPU_MAX_BLOCK", "2048"))
+    max_block = max_guide_block()
     while block < N_GUIDES and block < max_block:  # mirrors DeviceScanner
         block *= 2
     n_blocks = max(1, -(-N_GUIDES // block))
@@ -360,7 +361,14 @@ def library_row(db, scanner, genome_mb, detail, platform):
     # (the escalation chain's intermediate executables cost ~7-20 s of
     # remote compile each; the pin makes the official run dispatch straight
     # at the caps that work)
-    caps_pin = _pin_path(genome_mb, "lib%d_caps" % LIB_GUIDES)
+    # the pin is keyed by the guide-block config: settled caps depend on
+    # guides-per-block, and a shared pin would ratchet monotonically across
+    # config changes (presize takes max(cur, pin), so settled >= pin — a
+    # one-off escalated config could permanently inflate every later run's
+    # stage-2 domain). Per-config pins keep each config at ITS settle point.
+    from flashfry_tpu.ops.scan import max_guide_block
+    caps_pin = _pin_path(genome_mb, "lib%d_caps_b%d"
+                         % (LIB_GUIDES, max_guide_block()))
     if os.path.exists(caps_pin):
         with open(caps_pin) as fh:
             c = json.load(fh)["v"]

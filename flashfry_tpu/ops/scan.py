@@ -452,13 +452,28 @@ import os as _os
 STAGE2_INT8 = _os.environ.get("FLASHFRY_TPU_STAGE2", "int8") != "bf16"
 TRIP_TILE = int(_os.environ.get("FLASHFRY_TPU_TRIP_TILE", "128"))
 
+
+def max_guide_block() -> int:
+    """Max guides per scan block (env FLASHFRY_TPU_MAX_BLOCK, default 2048
+    — see the block-size history note in DeviceScanner.scan). The single
+    source for DeviceScanner, ShardedScanner and the bench presize, floored
+    to a power of two >= 128 so the doubling loop treats it as a true cap
+    (a raw 3000 would otherwise overshoot to 4096)."""
+    v = int(_os.environ.get("FLASHFRY_TPU_MAX_BLOCK", "2048"))
+    return max(128, 1 << (max(v, 1).bit_length() - 1))
+
 DEFAULT_CHUNK = 1 << 23
 DEFAULT_CAP = 1 << 12   # max stage-1 hit targets per chunk
 TRIPLET_CAP = 1 << 17   # max (guide, target) hit pairs per fused block scan
 MAX_RETRIES = 6         # cap-escalation retries before the exact host
                         # fallback (col steps x2, so a 4096->65536 climb
                         # takes 4; each retry re-dispatches one guide block)
-COL_CAP_MAX = 1 << 16   # ceiling: stage-2 (col_cap, G) f32 = 256 MB at G=1024
+COL_CAP_MAX = 1 << 16   # ceiling: stage-2 (col_cap, G) int32 matches + mmT
+                        # = 2 x 512 MB at the ceiling with the default
+                        # G=2048 blocks — measured to fit alongside the
+                        # 13 GiB code budget (the r5 official mm=5 hg38 run
+                        # executed at this envelope); shrink the chunk, not
+                        # this, if HBM pressure appears
 TRIP_CAP_MAX = 1 << 25  # ceiling: 268 MB triplet buffer per in-flight block
 
 
@@ -643,9 +658,10 @@ class DeviceScanner:
         traversal finds (bin pruning is lossless), so bin_mask is not needed
         for correctness; it is accepted for interface parity and ignored.
 
-        Guides run in fixed-size blocks (128..1024 rows) so every device
-        executable has one of a handful of static shapes — compiled once,
-        persistently cached, reused for any guide count.
+        Guides run in fixed-size blocks (128 up to max_guide_block(),
+        default 2048 rows) so every device executable has one of a handful
+        of static shapes — compiled once, persistently cached, reused for
+        any guide count.
         """
         import jax
         g_all = np.asarray(guide_longs, dtype=np.uint64)
@@ -654,13 +670,14 @@ class DeviceScanner:
         # were 2.5x SLOWER at library scale — stage-2 compaction then
         # scaled with G x col_cap and the column cap escalated to match.
         # RE-MEASURED round 5 after the compaction rework (tools/
-        # ab_block.py): 2048 is now 13-17% FASTER (100k guides steady-
-        # state: 40.8 -> 35.6 s; 8192 guides: 3.25 -> 2.71 s) with caps
-        # UNESCALATED and identical hit sets — halving the per-chunk fixed
-        # costs (column search, gathers, emit) now outweighs the larger
-        # stage-2 domain. 2048 is the default; FLASHFRY_TPU_MAX_BLOCK
-        # re-probes other workloads.
-        max_block = int(_os.environ.get("FLASHFRY_TPU_MAX_BLOCK", "2048"))
+        # ab_block.py): 2048 is now 7-17% FASTER in both guide orders
+        # (sequence-sorted 100k steady-state 40.8 -> 35.6 s, caps
+        # unescalated; position-like order 42.7 -> 38.7 s, col settles at
+        # 16384, caps reset per arm), identical hit sets — halving the
+        # per-chunk fixed costs (column search, gathers, emit) now
+        # outweighs the larger stage-2 domain. 2048 is the default;
+        # FLASHFRY_TPU_MAX_BLOCK (max_guide_block) re-probes.
+        max_block = max_guide_block()
         block = 128
         while block < n_guides and block < max_block:
             block *= 2

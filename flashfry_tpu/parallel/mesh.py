@@ -317,10 +317,10 @@ class ShardedScanner:
         from ..ops.scan import interleaved_blocks
         g_all = np.asarray(guide_longs, dtype=np.uint64)
         n_guides = g_all.shape[0]
-        import os as _os
         # same per-device max block as DeviceScanner (2048 measured faster
         # post-rework; see ops/scan.py block-size history)
-        max_block = int(_os.environ.get("FLASHFRY_TPU_MAX_BLOCK", "2048"))
+        from ..ops.scan import max_guide_block
+        max_block = max_guide_block()
         block = 128 * self.Gx
         while block < n_guides and block < max_block * self.Gx:
             block *= 2
