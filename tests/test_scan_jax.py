@@ -322,3 +322,57 @@ def test_multi_block_sorted_hot_cluster_matches_oracle():
         t_hits = np.nonzero(expect_mm[gi] <= 4)[0]
         expect = [(int(t), int(expect_mm[gi, t])) for t in t_hits]
         assert got.get(gi, []) == expect
+
+
+def test_adaptive_emit_big_branch_matches_oracle():
+    """Force a per-chunk hit count ABOVE the adaptive emit's small cap
+    (block_cap // 8) so the WIDE lax.cond branch runs, and pin the result
+    to the oracle. A repeat family (many identical targets) matched by
+    many near-identical guides makes k = hit_cols x hit_guides per chunk
+    large while staying under the caps."""
+    from flashfry_tpu.bitcoding import BitEncoding
+    from flashfry_tpu.standards import Cas9NGGParameterPack as pack
+
+    rng = np.random.default_rng(77)
+    unit = "".join("ACGT"[c] for c in rng.integers(0, 4, size=21)) + "GG"
+    # 400 DISTINCT 1-mismatch variants of one site (exact copies would
+    # dedup to a single database target) embedded in random sequence
+    genome = []
+    for _ in range(400):
+        genome.append("".join("ACGT"[c] for c in rng.integers(0, 4, size=40)))
+        var = list(unit[:21])
+        p = int(rng.integers(0, 21))
+        var[p] = "ACGT"[int(rng.integers(0, 4))]
+        genome.append("".join(var) + "GG")
+    db = build_db("".join(genome), pack)
+
+    # 64 guides, each within 1 mismatch of the family: every (guide,
+    # family-target) pair hits -> k per chunk >> small_cap
+    guides = []
+    for i in range(64):
+        mut = list(unit[:21])
+        mut[i % 21] = "ACGT"[(("ACGT".index(mut[i % 21])) + 1 + i // 21) % 4]
+        guides.append("".join(mut) + "GG")
+    enc = BitEncoding(pack)
+    guide_longs = enc.encode_batch(guides)
+
+    # cap=1<<11 -> block_cap = 8 * 2048 = 16384, small_cap = 2048;
+    # expected k >= 300 copies x 64 guides ~ 19200 > small_cap (clamped by
+    # the dedup: copies collapse to fewer distinct targets, so verify k)
+    scanner = DeviceScanner(db, use_pallas=False, chunk=1 << 14, cap=1 << 11,
+                            trip_cap=1 << 17)
+    got = {}
+    n_hits = 0
+    for t_idx, g_idx, mm in scanner.scan(np.asarray(guide_longs), 4):
+        n_hits += t_idx.size
+        for t, g, m in zip(t_idx.tolist(), g_idx.tolist(), mm.tolist()):
+            got.setdefault(g, []).append((t, m))
+    small_cap = (8 * (1 << 11)) // 8
+    assert n_hits > small_cap, "test no longer exercises the wide branch"
+
+    expect_mm = enc.mismatches_cross(
+        np.asarray(guide_longs, dtype=np.uint64), db.targets)
+    for g in range(len(guides)):
+        t_hits = np.nonzero(expect_mm[g] <= 4)[0]
+        expect = [(int(t), int(expect_mm[g, t])) for t in t_hits]
+        assert got.get(g, []) == expect
