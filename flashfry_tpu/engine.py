@@ -372,6 +372,27 @@ def discover(db: Database, guide_sites: DiscoveredSites,
         bmask = bin_guide_mask(db, guide_longs, max_mismatch)
 
     t0 = time.time()
+    if not use_numpy and not force_linear:
+        # Device scanners are dense (pruning is lossless, so the hit set is
+        # identical) and track only dense_comparisons; the logged
+        # all_comparisons must carry the reference's post-pruning semantics
+        # (Traverser.scala:66-74, OffTargetDiscovery.scala:137). It is a
+        # pure function of (db, guides, mm), computed BEFORE the scan: run
+        # after collect, the same call intermittently cost ~11 s instead of
+        # ~1.5 s at library scale (only with the multi-GB hit/TSV heap
+        # resident — isolated runs are always fast), so do it on the lean
+        # heap.
+        t_cnt = time.time()
+        if db.num_targets < 2 ** 31:
+            stats.all_comparisons = pruned_comparisons_device(
+                db, guide_longs, max_mismatch)
+        else:
+            # beyond the device counter's int32 per-guide range (streaming
+            # databases past hg38 scale): the int64 host counter, rather
+            # than failing a finished discover over a log statistic
+            stats.all_comparisons = pruned_comparisons(
+                db, guide_longs, max_mismatch)
+        stats.counter_seconds = time.time() - t_cnt
     if use_numpy:
         hit_iter = _scan_numpy(db, guide_longs, max_mismatch, stats, bmask)
     elif scanner is not None:
@@ -396,25 +417,11 @@ def discover(db: Database, guide_sites: DiscoveredSites,
         from .ops.scan import scan_database_jax
         hit_iter = scan_database_jax(db, guide_longs, max_mismatch, stats, bmask)
     _collect_hits(db, guides, hit_iter, stats)
-    if not use_numpy:
-        # Device scanners are dense (pruning is lossless, so the hit set is
-        # identical) and track only dense_comparisons; the logged
-        # all_comparisons must carry the reference's post-pruning semantics
-        # (Traverser.scala:66-74, OffTargetDiscovery.scala:137). With
-        # --forceLinear the numpy path skips the bin mask; mirror that.
-        t_cnt = time.time()
-        if force_linear:
-            stats.all_comparisons = stats.dense_comparisons
-        elif db.num_targets < 2 ** 31:
-            stats.all_comparisons = pruned_comparisons_device(
-                db, guide_longs, max_mismatch)
-        else:
-            # beyond the device counter's int32 per-guide range (streaming
-            # databases past hg38 scale): the int64 host counter, rather
-            # than failing a finished discover over a log statistic
-            stats.all_comparisons = pruned_comparisons(
-                db, guide_longs, max_mismatch)
-        stats.counter_seconds = time.time() - t_cnt
+    if not use_numpy and force_linear:
+        # with --forceLinear the numpy path skips the bin mask; mirror
+        # that (dense_comparisons is accumulated during the scan, so this
+        # branch cannot move before it)
+        stats.all_comparisons = stats.dense_comparisons
     stats.scan_seconds = time.time() - t0
     return guides
 
