@@ -16,7 +16,6 @@ import flashfry_tpu.ops.scan as S
 from flashfry_tpu.database import load_database
 from flashfry_tpu.ops.scan import DeviceScanner
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import bench
 
 VARIANTS = [(True, 128), (False, 512), (True, 512), (False, 128)]
