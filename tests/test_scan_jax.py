@@ -376,3 +376,32 @@ def test_adaptive_emit_big_branch_matches_oracle():
         t_hits = np.nonzero(expect_mm[g] <= 4)[0]
         expect = [(int(t), int(expect_mm[g, t])) for t in t_hits]
         assert got.get(g, []) == expect
+
+
+def test_searchsorted_monotone_matches_numpy():
+    """Direct fuzz of the two-level search against np.searchsorted 'left',
+    including ties, zero runs, all-below/all-above queries, and non-window-
+    multiple lengths (padded with int32 max)."""
+    from flashfry_tpu.ops.scan import _searchsorted_monotone
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    for nt, kq in ((16384, 65536), (1000, 777), (128, 4096), (5, 64)):
+        steps = rng.integers(0, 4, size=nt)
+        steps[rng.random(nt) < 0.3] = 0  # long tie runs
+        cum = np.cumsum(steps).astype(np.int32)
+        q = rng.integers(-2, int(cum[-1]) + 3, size=kq).astype(np.int32)
+        got = np.asarray(_searchsorted_monotone(jnp.asarray(cum),
+                                                jnp.asarray(q)))
+        want = np.searchsorted(cum, q, side="left")
+        assert np.array_equal(got, want), (nt, kq)
+
+
+def test_max_guide_block_env(monkeypatch):
+    from flashfry_tpu.ops.scan import max_guide_block
+    monkeypatch.delenv("FLASHFRY_TPU_MAX_BLOCK", raising=False)
+    assert max_guide_block() == 2048
+    for raw, want in (("1024", 1024), ("3000", 2048), ("1500", 1024),
+                      ("64", 128), ("8192", 8192)):
+        monkeypatch.setenv("FLASHFRY_TPU_MAX_BLOCK", raw)
+        assert max_guide_block() == want, raw
