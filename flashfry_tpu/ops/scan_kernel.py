@@ -35,7 +35,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-T_TILE = 4096
+T_TILE = 4096  # re-probed round 5 at G=2048: 2048/4096/8192/16384 are flat
+               # within 1% (1.07-1.11e12 cmp/s), so 4096 stays; the kernel
+               # reaches 1.10e12 cmp/s at G=2048 vs 1.01e12 at G=1024
+               # (better M-dim amortization — part of the 2048-block win)
 OH_ROWS = 128   # one-hot width: 4*L <= 96 for all enzymes, padded to 128
 CODE_ROWS = 32  # plane-major code rows (L <= 24, padded to the int8 sublane tile)
 
