@@ -760,6 +760,26 @@ def main():
     detail["flashfry_1000g_mm4_hg38_seconds"] = FLASHFRY_HG38_DISCOVER_S[4]
     detail["flashfry_1000g_mm5_hg38_seconds"] = FLASHFRY_HG38_DISCOVER_S[5]
 
+    # ---- 2-host scaling model (BASELINE >=80% axis) ------------------------
+    # hardware unavailable, so this is a MODEL with every input measured:
+    # DCN bytes/block counted in a real 2-process jax.distributed run
+    # (MultiHostScanner.dcn_allgather_bytes via tools/multihost_model.py,
+    # round 5: 4.19 MB per 1024-guide block; trip-cap bound 8.39 MB), scan
+    # seconds/block from THIS run's measured scan row. eff = T1/(2*(T1/2 +
+    # bytes/bw + 2 slices x 1 ms latency)) at a conservative 50 Gbit/s DCN.
+    t1 = detail["seconds_per_scan"]
+    bw = 50e9 / 8
+    model = {}
+    for label, b in (("measured", 4_194_432), ("trip_cap_bound", 8_388_608)):
+        t_dcn = b / bw + 2e-3
+        model[label] = {
+            "dcn_mb_per_block": round(b / 1e6, 2),
+            "efficiency_2host_pct": round(100 * t1 / (2 * (t1 / 2 + t_dcn)), 1)}
+    model["inputs"] = ("dcn bytes measured in a 2-process run "
+                      "(tools/multihost_model.py); block seconds from this "
+                      "run's seconds_per_scan; 50 Gbit/s DCN + 1 ms/slice")
+    detail["multihost_2host_model"] = model
+
     print(json.dumps({
         "metric": "guide-vs-database comparisons/s/chip (%d guides, mm=4, "
                   "%dMbp genome)" % (N_GUIDES, genome_mb),
