@@ -765,19 +765,33 @@ def main():
     # DCN bytes/block counted in a real 2-process jax.distributed run
     # (MultiHostScanner.dcn_allgather_bytes via tools/multihost_model.py,
     # round 5: 4.19 MB per 1024-guide block; trip-cap bound 8.39 MB), scan
-    # seconds/block from THIS run's measured scan row. eff = T1/(2*(T1/2 +
-    # bytes/bw + 2 slices x 1 ms latency)) at a conservative 50 Gbit/s DCN.
+    # seconds from THIS run, 50 Gbit/s DCN + 1 ms/slice. TWO regimes,
+    # reported separately rather than blended:
+    #  * pipelined multi-block (the library workloads that need 2 hosts):
+    #    the 3-deep pipeline hides per-block dispatch/fetch latency, so the
+    #    per-host cost is compute/2 + t_dcn -> eff = t1/(2*(t1/2+t_dcn));
+    #  * single-block: the guide-count-independent dispatch+fetch floor
+    #    (measured directly as this run's 1-guide scan) does NOT shrink
+    #    when the db axis splits -> eff = t1/(2*(floor+(t1-floor)/2+t_dcn)).
+    #    This regime is BELOW the 80% target and says so — latency-bound
+    #    single scans are not what multi-host exists for.
     t1 = detail["seconds_per_scan"]
+    floor = detail.get("seconds_scan_1g_mm4", 0.0)
     bw = 50e9 / 8
     model = {}
     for label, b in (("measured", 4_194_432), ("trip_cap_bound", 8_388_608)):
         t_dcn = b / bw + 2e-3
         model[label] = {
             "dcn_mb_per_block": round(b / 1e6, 2),
-            "efficiency_2host_pct": round(100 * t1 / (2 * (t1 / 2 + t_dcn)), 1)}
+            "efficiency_2host_pipelined_pct": round(
+                100 * t1 / (2 * (t1 / 2 + t_dcn)), 1),
+            "efficiency_2host_single_block_pct": round(
+                100 * t1 / (2 * (floor + (t1 - floor) / 2 + t_dcn)), 1)}
     model["inputs"] = ("dcn bytes measured in a 2-process run "
-                      "(tools/multihost_model.py); block seconds from this "
-                      "run's seconds_per_scan; 50 Gbit/s DCN + 1 ms/slice")
+                      "(tools/multihost_model.py); block seconds and the "
+                      "1-guide fixed floor from this run; 50 Gbit/s DCN + "
+                      "1 ms/slice; pipelined = per-block latency hidden by "
+                      "the 3-deep pipeline (multi-block workloads)")
     detail["multihost_2host_model"] = model
 
     print(json.dumps({

@@ -382,6 +382,13 @@ def discover(db: Database, guide_sites: DiscoveredSites,
         # ~1.5 s at library scale (only with the multi-GB hit/TSV heap
         # resident — isolated runs are always fast), so do it on the lean
         # heap.
+        if db.num_targets < 2 ** 31:
+            # absorb the one-time jax/device init (~160 s first dispatch on
+            # the remote chip) OUTSIDE the counter stat: on a cold process
+            # the counter is now the first device op and would otherwise
+            # misreport init time as counter time
+            import jax.numpy as jnp
+            np.asarray(jnp.zeros((), jnp.int32) + 1)
         t_cnt = time.time()
         if db.num_targets < 2 ** 31:
             stats.all_comparisons = pruned_comparisons_device(

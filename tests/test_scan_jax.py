@@ -347,7 +347,7 @@ def test_adaptive_emit_big_branch_matches_oracle():
     db = build_db("".join(genome), pack)
 
     # 64 guides, each within 1 mismatch of the family: every (guide,
-    # family-target) pair hits -> k per chunk >> small_cap
+    # family-target) pair hits at mm <= 2
     guides = []
     for i in range(64):
         mut = list(unit[:21])
@@ -356,11 +356,15 @@ def test_adaptive_emit_big_branch_matches_oracle():
     enc = BitEncoding(pack)
     guide_longs = enc.encode_batch(guides)
 
-    # cap=1<<11 -> block_cap = 8 * 2048 = 16384, small_cap = 2048;
-    # expected k >= 300 copies x 64 guides ~ 19200 > small_cap (clamped by
-    # the dedup: copies collapse to fewer distinct targets, so verify k)
+    # cap=1<<11 -> block_cap = 8 * 2048 = 16384, small_cap = 2048. A 21-mer
+    # has only 63 distinct 1-mismatch variants, so the 400 draws dedup to
+    # ~64 family targets: k ~= 64 targets x 64 guides ~= 4096 > small_cap.
+    # chunk must cover the WHOLE db so that per-chunk k == total n_hits and
+    # the guard below really certifies the wide branch ran.
     scanner = DeviceScanner(db, use_pallas=False, chunk=1 << 14, cap=1 << 11,
                             trip_cap=1 << 17)
+    assert scanner.chunk >= db.num_targets, \
+        "db must fit one chunk for the per-chunk-k guard to be valid"
     got = {}
     n_hits = 0
     for t_idx, g_idx, mm in scanner.scan(np.asarray(guide_longs), 4):
