@@ -95,6 +95,23 @@ def pruned_comparisons(db: Database, guide_longs: np.ndarray,
     return total
 
 
+_jax_warmed = False
+
+
+def _warm_jax_once() -> None:
+    """Absorb the one-time jax/device init (~160 s first dispatch on the
+    remote chip) OUTSIDE any timed stat — on a cold CLI process the pruned
+    counter is the first device op and would otherwise misreport init time
+    as counter time. One fetch per PROCESS, not per call (each fetch costs
+    ~85 ms of tunnel latency)."""
+    global _jax_warmed
+    if _jax_warmed:
+        return
+    import jax.numpy as jnp
+    np.asarray(jnp.zeros((), jnp.int32) + 1)
+    _jax_warmed = True
+
+
 def pruned_comparisons_device(db: Database, guide_longs: np.ndarray,
                               max_mismatch: int,
                               guide_chunk: int = 8192) -> int:
@@ -383,12 +400,7 @@ def discover(db: Database, guide_sites: DiscoveredSites,
         # resident — isolated runs are always fast), so do it on the lean
         # heap.
         if db.num_targets < 2 ** 31:
-            # absorb the one-time jax/device init (~160 s first dispatch on
-            # the remote chip) OUTSIDE the counter stat: on a cold process
-            # the counter is now the first device op and would otherwise
-            # misreport init time as counter time
-            import jax.numpy as jnp
-            np.asarray(jnp.zeros((), jnp.int32) + 1)
+            _warm_jax_once()
         t_cnt = time.time()
         if db.num_targets < 2 ** 31:
             stats.all_comparisons = pruned_comparisons_device(
